@@ -1,0 +1,14 @@
+"""Test env: force an 8-device virtual CPU mesh before jax is imported.
+
+Mirrors SURVEY.md §4's note: multi-device paths are exercised on host CPU
+via --xla_force_host_platform_device_count; the real TPU is reserved for
+bench runs.
+"""
+import os
+
+os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+flags = os.environ.get('XLA_FLAGS', '')
+if 'xla_force_host_platform_device_count' not in flags:
+    os.environ['XLA_FLAGS'] = (
+        flags + ' --xla_force_host_platform_device_count=8').strip()
+os.environ.setdefault('JAX_ENABLE_X64', '0')

@@ -1,0 +1,117 @@
+"""RoIAlign golden test vs a literal torch port of the mmcv aligned
+CUDA kernel semantics (reference consumes mmcv.ops.RoIAlign(aligned=True,
+output_size=7, sampling_ratio=2) via single_level_roi_extractor.py)."""
+import numpy as np
+import pytest
+import torch
+
+from mcgaze_tpu.ops.roi_align import roi_align_fpn, roi_levels
+
+
+def torch_roi_align_single(feat, rois, out=7, sampling=2, spatial_scale=1.0):
+    """feat (H, W, C), rois (R, 4) xyxy in image coords; aligned=True."""
+    H, W, C = feat.shape
+    R = rois.shape[0]
+    out_t = torch.zeros(R, out, out, C)
+
+    def bilinear(y, x):
+        if y < -1.0 or y > H or x < -1.0 or x > W:
+            return torch.zeros(C)
+        y = max(y, 0.0)
+        x = max(x, 0.0)
+        y_low = int(y)
+        x_low = int(x)
+        if y_low >= H - 1:
+            y_low = y_high = H - 1
+            y = float(y_low)
+        else:
+            y_high = y_low + 1
+        if x_low >= W - 1:
+            x_low = x_high = W - 1
+            x = float(x_low)
+        else:
+            x_high = x_low + 1
+        ly, lx = y - y_low, x - x_low
+        hy, hx = 1 - ly, 1 - lx
+        return (feat[y_low, x_low] * hy * hx + feat[y_low, x_high] * hy * lx +
+                feat[y_high, x_low] * ly * hx + feat[y_high, x_high] * ly * lx)
+
+    for r in range(R):
+        x1 = rois[r, 0] * spatial_scale - 0.5
+        y1 = rois[r, 1] * spatial_scale - 0.5
+        x2 = rois[r, 2] * spatial_scale - 0.5
+        y2 = rois[r, 3] * spatial_scale - 0.5
+        bw = (x2 - x1) / out
+        bh = (y2 - y1) / out
+        for i in range(out):
+            for j in range(out):
+                acc = torch.zeros(C)
+                for sy in range(sampling):
+                    for sx in range(sampling):
+                        y = y1 + (i + (sy + 0.5) / sampling) * bh
+                        x = x1 + (j + (sx + 0.5) / sampling) * bw
+                        acc += bilinear(float(y), float(x))
+                out_t[r, i, j] = acc / (sampling * sampling)
+    return out_t
+
+
+def make_pyramid(rng, n=2, c=8, base=32):
+    feats = []
+    for s in (4, 8, 16, 32):
+        h = w = base * 4 // s
+        feats.append(rng.randn(n, h, w, c).astype(np.float32))
+    return tuple(feats)
+
+
+def test_level_routing():
+    rois = np.array([
+        [0, 0, 50, 50],      # scale 50 < 112 -> lvl 0
+        [0, 0, 150, 150],    # 112 <= 150 < 224 -> lvl 1
+        [0, 0, 300, 300],    # -> lvl 2
+        [0, 0, 900, 900],    # -> lvl 3 (clamped)
+    ], np.float32)
+    lvls = np.asarray(roi_levels(rois))
+    np.testing.assert_array_equal(lvls, [0, 1, 2, 3])
+
+
+@pytest.mark.parametrize('seed', [0, 1])
+def test_roi_align_matches_reference(seed):
+    rng = np.random.RandomState(seed)
+    feats = make_pyramid(rng, n=2, c=8, base=32)  # image is 128x128
+    # Rois spanning all levels (incl. partially out-of-bounds).
+    rois = np.stack([
+        rng.uniform(-10, 60, (2, 3)).astype(np.float32) for _ in range(1)
+    ])
+    rois = np.zeros((2, 5, 4), np.float32)
+    sizes = np.array([30, 100, 250, 500, 40], np.float32)
+    for n in range(2):
+        for r, s in enumerate(sizes):
+            x1 = rng.uniform(-5, 100)
+            y1 = rng.uniform(-5, 100)
+            rois[n, r] = [x1, y1, x1 + s, y1 + s]
+
+    ours = np.asarray(roi_align_fpn(feats, rois))
+    strides = (4, 8, 16, 32)
+    for n in range(2):
+        lvls = np.asarray(roi_levels(rois[n]))
+        for r in range(rois.shape[1]):
+            l = int(lvls[r])
+            ref = torch_roi_align_single(
+                torch.from_numpy(feats[l][n]),
+                torch.from_numpy(rois[n, r:r + 1]),
+                spatial_scale=1.0 / strides[l]).numpy()[0]
+            np.testing.assert_allclose(ours[n, r], ref, rtol=1e-4, atol=1e-4)
+
+
+def test_roi_align_grads_flow():
+    import jax
+    rng = np.random.RandomState(0)
+    feats = make_pyramid(rng, n=1, c=4, base=32)
+    rois = np.array([[[10., 10., 60., 60.]]], np.float32)
+
+    def f(f0):
+        return roi_align_fpn((f0,) + feats[1:], rois).sum()
+
+    g = jax.grad(f)(feats[0])
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).sum() > 0
