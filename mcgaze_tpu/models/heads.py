@@ -1,0 +1,207 @@
+"""Query-interaction and gaze heads.
+
+Re-designs of the reference heads as static-shape flax modules:
+  * STQIHead  -> mmdet/models/roi_heads/bbox_heads/gaze_stqi_head.py
+                 (spatial + temporal self-attention with ONE shared
+                 attention module and ONE shared LayerNorm, DynamicConv
+                 instance interaction, FFN, per-clue cls/reg towers)
+  * GazeHead  -> mmdet/models/roi_heads/mask_heads/gaze_head.py
+                 (per-clue gaze towers, detached confidence towers,
+                 learned 9->3 fusion, unit-normalised outputs)
+
+The dual-layout attention of the reference (seq=3 queries over batch B*T,
+then seq=T frames over batch B*3) is kept as two calls into the same
+module — with (3, T) = (3, 7) these are tiny MXU ops that XLA fuses into
+the surrounding GEMMs; the win on TPU comes from batching B*T, not from a
+bespoke kernel.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class TorchMHA(nn.Module):
+    """Self-attention numerically equivalent to torch.nn.MultiheadAttention
+    wrapped by mmcv's residual MultiheadAttention brick (identity + attn).
+
+    Param layout uses fused qkv/out Dense kernels of shape (E, 3E)/(E, E) so
+    a torch `in_proj_weight` imports as its transpose.
+    """
+    embed: int
+    heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        """x: (B, S, E) -> (B, S, E) with residual added."""
+        e, h = self.embed, self.heads
+        hd = e // h
+        qkv = nn.Dense(3 * e, dtype=self.dtype, name='qkv')(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        b, s = x.shape[0], x.shape[1]
+
+        def heads_split(t):
+            return t.reshape(b, s, h, hd).transpose(0, 2, 1, 3)
+
+        q, k, v = map(heads_split, (q, k, v))
+        logits = jnp.einsum('bhqd,bhkd->bhqk', q, k,
+                            preferred_element_type=jnp.float32)
+        logits = logits / jnp.sqrt(jnp.asarray(hd, jnp.float32))
+        attn = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        out = jnp.einsum('bhqk,bhkd->bhqd', attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, s, e)
+        out = nn.Dense(e, dtype=self.dtype, name='out')(out)
+        return x + out  # mmcv MultiheadAttention residual
+
+
+class MLPTower(nn.Module):
+    """n x (Dense-no-bias -> LayerNorm -> ReLU), as used by every cls/reg/
+    gaze projection tower in the reference heads."""
+    features: int
+    num_layers: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.num_layers):
+            x = nn.Dense(self.features, use_bias=False, dtype=self.dtype,
+                         name=f'fc{i}')(x)
+            x = nn.LayerNorm(dtype=self.dtype, name=f'ln{i}')(x)
+            x = nn.relu(x)
+        return x
+
+
+class DynamicConv(nn.Module):
+    """Query-conditioned 1x1 conv over the RoI feature
+    (reference mmdet/models/utils/transformer.py:1055-1164)."""
+    channels: int = 256
+    feat_channels: int = 64
+    roi_size: int = 7
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, query, roi):
+        """query: (M, C); roi: (M, S, S, C) -> (M, C)."""
+        c, f = self.channels, self.feat_channels
+        m = query.shape[0]
+        hw = self.roi_size * self.roi_size
+        params = nn.Dense(2 * c * f, dtype=self.dtype,
+                          name='dynamic_layer')(query)
+        p_in = params[:, :c * f].reshape(m, c, f)
+        p_out = params[:, c * f:].reshape(m, f, c)
+
+        x = roi.reshape(m, hw, c)
+        x = jnp.einsum('msc,mcf->msf', x, p_in,
+                       preferred_element_type=jnp.float32).astype(self.dtype)
+        x = nn.relu(nn.LayerNorm(dtype=self.dtype, name='norm_in')(x))
+        x = jnp.einsum('msf,mfc->msc', x, p_out,
+                       preferred_element_type=jnp.float32).astype(self.dtype)
+        x = nn.relu(nn.LayerNorm(dtype=self.dtype, name='norm_out')(x))
+        x = x.reshape(m, hw * c)
+        x = nn.Dense(c, dtype=self.dtype, name='fc_layer')(x)
+        x = nn.relu(nn.LayerNorm(dtype=self.dtype, name='fc_norm')(x))
+        return x
+
+
+class STQIHead(nn.Module):
+    """One refinement stage: spatio-temporal query interaction + per-clue
+    classification logits and box deltas."""
+    channels: int = 256
+    num_heads: int = 8
+    ffn_channels: int = 2048
+    feat_channels: int = 64
+    roi_size: int = 7
+    num_queries: int = 3
+    num_cls_fcs: int = 1
+    num_reg_fcs: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, roi_feat, query, clip_length):
+        """roi_feat: (N*Q, S, S, C); query: (N, Q, C); N = B*T.
+
+        Returns (cls_logits (N, Q, 1), deltas (N, Q, 4), obj_feat (N, Q, C)).
+        """
+        n, nq, c = query.shape
+        t = clip_length
+        b = n // t
+        attn = TorchMHA(self.channels, self.num_heads, dtype=self.dtype,
+                        name='attention')
+        attn_norm = nn.LayerNorm(dtype=self.dtype, name='attention_norm')
+
+        # (a) spatial self-attention: the Q clue queries of each frame
+        # attend to each other (batch = B*T).
+        q = attn_norm(attn(query))
+        # (b) temporal self-attention with the SAME weights and norm: each
+        # clue query attends across the T frames (batch = B*Q).
+        q = q.reshape(b, t, nq, c).transpose(0, 2, 1, 3).reshape(b * nq, t, c)
+        q = attn_norm(attn(q))
+        q = q.reshape(b, nq, t, c).transpose(0, 2, 1, 3).reshape(n, nq, c)
+
+        # (c) instance-interactive DynamicConv + residual + LN.
+        flat_q = q.reshape(n * nq, c)
+        iic = DynamicConv(self.channels, self.feat_channels, self.roi_size,
+                          dtype=self.dtype,
+                          name='instance_interactive_conv')(flat_q, roi_feat)
+        obj = nn.LayerNorm(dtype=self.dtype, name='iic_norm')(flat_q + iic)
+
+        # (d) FFN (residual inside, norm after — mmcv FFN + ffn_norm).
+        y = nn.Dense(self.ffn_channels, dtype=self.dtype, name='ffn_fc1')(obj)
+        y = nn.relu(y)
+        y = nn.Dense(self.channels, dtype=self.dtype, name='ffn_fc2')(y)
+        obj = nn.LayerNorm(dtype=self.dtype, name='ffn_norm')(obj + y)
+
+        # (e) towers + per-clue linear heads.
+        cls_feat = MLPTower(c, self.num_cls_fcs, dtype=self.dtype,
+                            name='cls_tower')(obj).reshape(n, nq, c)
+        reg_feat = MLPTower(c, self.num_reg_fcs, dtype=self.dtype,
+                            name='reg_tower')(obj).reshape(n, nq, c)
+        cls_logits = []
+        deltas = []
+        for i, clue in enumerate(('face', 'eyes', 'head')[:nq]):
+            cls_logits.append(
+                nn.Dense(1, dtype=self.dtype,
+                         name=f'{clue}_fc_cls')(cls_feat[:, i]))
+            deltas.append(
+                nn.Dense(4, dtype=self.dtype,
+                         name=f'{clue}_fc_reg')(reg_feat[:, i]))
+        cls_logits = jnp.stack(cls_logits, axis=1)          # (N, Q, 1)
+        deltas = jnp.stack(deltas, axis=1)                  # (N, Q, 4)
+        return cls_logits, deltas, obj.reshape(n, nq, c)
+
+
+class GazeHead(nn.Module):
+    """Per-clue gaze regression + confidence-weighted fusion."""
+    channels: int = 256
+    gaze_dim: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, obj_feat):
+        """obj_feat: (N, Q=3, C) -> dict of unit gaze vectors (N, 3)."""
+        eps_free_norm = lambda v: v / jnp.linalg.norm(v, axis=-1,
+                                                      keepdims=True)
+        gazes = []
+        confs = []
+        for i, clue in enumerate(('face', 'eyes', 'head')):
+            g = MLPTower(self.channels, 2, dtype=self.dtype,
+                         name=f'gaze_{clue}_fcs')(obj_feat[:, i])
+            gazes.append(nn.Dense(3, dtype=self.dtype,
+                                  name=f'fc_{clue}')(g))
+            # Confidence towers see DETACHED features (gaze_head.py:168-181).
+            f = jax.lax.stop_gradient(obj_feat[:, i])
+            f = MLPTower(self.channels, 2, dtype=self.dtype,
+                         name=f'gaze_{clue}_confidence')(f)
+            confs.append(nn.Dense(self.gaze_dim, dtype=self.dtype,
+                                  name=f'fc_{clue}_confidence')(f))
+        fused_in = jnp.concatenate([c * g for c, g in zip(confs, gazes)],
+                                   axis=-1)                  # (N, 9)
+        fusion = nn.Dense(3, dtype=self.dtype, name='fc_gaze')(fused_in)
+        return dict(
+            fusion=eps_free_norm(fusion),
+            face=eps_free_norm(gazes[0]),
+            eyes=eps_free_norm(gazes[1]),
+            head=eps_free_norm(gazes[2]),
+        )

@@ -1,0 +1,146 @@
+"""MCGaze: end-to-end video gaze estimation, TPU-native.
+
+The full model of the reference (detector MultiClueGaze + FixedEmbeddingRPN
++ MultiClueGazeROIHead, see mmdet/models/detectors/multiclue_gaze.py and
+mmdet/models/roi_heads/multiclue_gaze_roi_head.py) collapsed into ONE pure
+function over static shapes:
+
+    clip (B*T, H, W, 3) -> ResNet50 -> FPN -> 3 learned queries/boxes
+      -> 4x [RoIAlign -> STQI -> delta decode -> GazeHead]
+
+All four stages unroll at trace time (stage list is a compile-time
+constant), so a single jit compiles the whole iterative refinement; the
+per-stage python loops of the reference (assign/sample per frame,
+multiclue_gaze_roi_head.py:237-257) do not exist here — targets are mask
+arithmetic in train/targets.py.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..geometry import bbox_cxcywh_to_xyxy, delta2bbox
+from ..ops.roi_align import roi_align_fpn
+from .fpn import FPN
+from .heads import GazeHead, STQIHead
+from .resnet import ResNet
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    backbone_depth: int = 50
+    num_stages: int = 4
+    clip_length: int = 7
+    num_queries: int = 3
+    channels: int = 256
+    ffn_channels: int = 2048
+    num_heads: int = 8
+    dyn_feat_channels: int = 64
+    num_cls_fcs: int = 1
+    num_reg_fcs: int = 3
+    roi_size: int = 7
+    sampling_ratio: int = 2
+    strides: Tuple[int, ...] = (4, 8, 16, 32)
+    finest_scale: float = 56.0
+    gaze_dim: int = 3
+    dtype: str = 'float32'
+    # loss weights (configs/multiclue_gaze/multiclue_gaze_r50_gaze360.py)
+    loss_cls_weight: float = 2.0
+    loss_bbox_weight: float = 5.0
+    loss_iou_weight: float = 2.0
+    loss_gaze_weight: float = 6.0
+    loss_temp_weight: float = 1.0
+    focal_gamma: float = 2.0
+    focal_alpha: float = 0.25
+    stage_loss_weights: Tuple[float, ...] = (1.0, 1.0, 1.0, 1.0)
+
+    @property
+    def jnp_dtype(self):
+        return jnp.dtype(self.dtype)
+
+
+class MCGazeModel(nn.Module):
+    """Forward producing per-stage predictions (train needs all stages for
+    the deep-supervision losses; eval consumes stage -1)."""
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, imgs: jnp.ndarray, img_whwh: jnp.ndarray,
+                 clip_length: int | None = None) -> dict:
+        """imgs: (N, H, W, 3) normalised frames, N = B*T (T static).
+        img_whwh: (N, 4) [w, h, w, h] of each frame's un-padded shape.
+
+        Returns dict with 'stages': list over stages of
+        dict(cls_logits (N,Q,1), boxes (N,Q,4) absolute xyxy,
+             gaze: dict(fusion/face/eyes/head -> (N,3) unit vectors)).
+        """
+        cfg = self.cfg
+        t = clip_length or cfg.clip_length
+        dtype = cfg.jnp_dtype
+        n = imgs.shape[0]
+        q = cfg.num_queries
+
+        feats = ResNet(cfg.backbone_depth, dtype=dtype,
+                       name='backbone')(imgs.astype(dtype))
+        feats = FPN(cfg.channels, len(cfg.strides), dtype=dtype,
+                    name='neck')(feats)
+
+        # FixedEmbeddingRPNHead: learned boxes in normalised cxcywh (init =
+        # whole image) + learned 256-d query features (reference
+        # fixed_embedding_rpn_head.py:41-53,76-94).
+        init_boxes = self.param(
+            'init_proposal_bboxes',
+            lambda _key, shape: jnp.tile(
+                jnp.asarray([0.5, 0.5, 1.0, 1.0], jnp.float32), (q, 1)),
+            (q, 4))
+        init_feats = self.param('init_proposal_features',
+                                nn.initializers.normal(1.0), (q, cfg.channels))
+
+        boxes = bbox_cxcywh_to_xyxy(init_boxes)[None] * img_whwh[:, None, :]
+        query = jnp.broadcast_to(init_feats[None].astype(dtype),
+                                 (n, q, cfg.channels))
+
+        stages_out = []
+        for stage in range(cfg.num_stages):
+            # The reference feeds *detached* boxes forward between stages
+            # (detach_proposal_list, multiclue_gaze_roi_head.py:134).
+            rois = jax.lax.stop_gradient(boxes)
+            roi_feat = roi_align_fpn(
+                feats, rois.astype(jnp.float32), out_size=cfg.roi_size,
+                sampling_ratio=cfg.sampling_ratio, strides=cfg.strides,
+                finest_scale=cfg.finest_scale)
+            roi_feat = roi_feat.reshape(n * q, cfg.roi_size, cfg.roi_size,
+                                        cfg.channels)
+            cls_logits, deltas, obj = STQIHead(
+                channels=cfg.channels, num_heads=cfg.num_heads,
+                ffn_channels=cfg.ffn_channels,
+                feat_channels=cfg.dyn_feat_channels, roi_size=cfg.roi_size,
+                num_queries=q, num_cls_fcs=cfg.num_cls_fcs,
+                num_reg_fcs=cfg.num_reg_fcs, dtype=dtype,
+                name=f'bbox_head_{stage}')(roi_feat, query, t)
+            boxes = delta2bbox(rois, deltas.astype(jnp.float32))
+            gaze = GazeHead(cfg.channels, cfg.gaze_dim, dtype=dtype,
+                            name=f'gaze_head_{stage}')(obj)
+            stages_out.append(dict(
+                cls_logits=cls_logits.astype(jnp.float32),
+                boxes=boxes,
+                gaze=jax.tree.map(lambda x: x.astype(jnp.float32), gaze),
+            ))
+            query = obj
+
+        return dict(stages=stages_out)
+
+
+def init_model(cfg: ModelConfig, rng: jax.Array, image_size=(224, 224)):
+    """Initialise params/stats with dummy shapes. Returns (model, variables)."""
+    model = MCGazeModel(cfg)
+    h, w = image_size
+    imgs = jnp.zeros((cfg.clip_length, h, w, 3), jnp.float32)
+    whwh = jnp.tile(jnp.asarray([[w, h, w, h]], jnp.float32),
+                    (cfg.clip_length, 1))
+    variables = model.init(rng, imgs, whwh)
+    return model, variables

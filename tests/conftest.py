@@ -1,14 +1,19 @@
-"""Test env: force an 8-device virtual CPU mesh before jax is imported.
+"""Test env: 8-device virtual CPU mesh + deterministic fp32 matmuls.
 
-Mirrors SURVEY.md §4's note: multi-device paths are exercised on host CPU
-via --xla_force_host_platform_device_count; the real TPU is reserved for
-bench runs.
+Notes (learned the hard way, see .claude/skills/verify/SKILL.md):
+  * The 'axon' TPU plugin in this image overrides the JAX_PLATFORMS env
+    var; `jax.config.update('jax_platforms', 'cpu')` is authoritative.
+  * TPU/defaults use bf16 matmul precision; goldens vs torch need
+    'highest'.
 """
 import os
 
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
 flags = os.environ.get('XLA_FLAGS', '')
 if 'xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (
         flags + ' --xla_force_host_platform_device_count=8').strip()
-os.environ.setdefault('JAX_ENABLE_X64', '0')
+
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')
+jax.config.update('jax_default_matmul_precision', 'highest')

@@ -1,0 +1,100 @@
+"""End-to-end model wiring tests (tiny shapes, CPU) + head parity goldens
+against torch modules (attention vs torch.nn.MultiheadAttention as consumed
+through mmcv's residual wrapper in gaze_stqi_head.py:51,151)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from mcgaze_tpu.models.heads import TorchMHA
+from mcgaze_tpu.models.mcgaze import MCGazeModel, ModelConfig, init_model
+
+
+@pytest.fixture(scope='module')
+def tiny_model():
+    cfg = ModelConfig(clip_length=7)
+    model, variables = init_model(cfg, jax.random.PRNGKey(0),
+                                  image_size=(64, 64))
+    return cfg, model, variables
+
+
+def test_forward_shapes_and_unit_gazes(tiny_model):
+    cfg, model, variables = tiny_model
+    n = cfg.clip_length
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (n, 64, 64, 3))
+    whwh = jnp.tile(jnp.asarray([[64., 64., 64., 64.]]), (n, 1))
+    out = model.apply(variables, imgs, whwh)
+    assert len(out['stages']) == 4
+    last = out['stages'][-1]
+    assert last['cls_logits'].shape == (n, 3, 1)
+    assert last['boxes'].shape == (n, 3, 4)
+    for k in ('fusion', 'face', 'eyes', 'head'):
+        g = np.asarray(last['gaze'][k])
+        assert g.shape == (n, 3)
+        np.testing.assert_allclose(np.linalg.norm(g, axis=-1), 1.0, atol=1e-5)
+
+
+def test_stages_differ_and_boxes_refine(tiny_model):
+    cfg, model, variables = tiny_model
+    n = cfg.clip_length
+    imgs = jax.random.normal(jax.random.PRNGKey(2), (n, 64, 64, 3))
+    whwh = jnp.tile(jnp.asarray([[64., 64., 64., 64.]]), (n, 1))
+    out = model.apply(variables, imgs, whwh)
+    b0 = np.asarray(out['stages'][0]['boxes'])
+    b3 = np.asarray(out['stages'][-1]['boxes'])
+    assert not np.allclose(b0, b3)
+
+
+def test_mha_matches_torch():
+    e, h, b, s = 32, 4, 6, 3
+    torch.manual_seed(0)
+    ref = torch.nn.MultiheadAttention(e, h, dropout=0.0)
+    x = torch.randn(s, b, e)
+    with torch.no_grad():
+        out_ref, _ = ref(x, x, x)
+    out_ref = (x + out_ref).permute(1, 0, 2).numpy()  # mmcv adds residual
+
+    mod = TorchMHA(e, h)
+    params = {
+        'params': {
+            'qkv': {
+                'kernel': jnp.asarray(
+                    ref.in_proj_weight.detach().numpy().T),
+                'bias': jnp.asarray(ref.in_proj_bias.detach().numpy()),
+            },
+            'out': {
+                'kernel': jnp.asarray(
+                    ref.out_proj.weight.detach().numpy().T),
+                'bias': jnp.asarray(ref.out_proj.bias.detach().numpy()),
+            },
+        }
+    }
+    ours = mod.apply(params, jnp.asarray(x.permute(1, 0, 2).numpy()))
+    np.testing.assert_allclose(np.asarray(ours), out_ref, rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_gradients_reach_all_stages(tiny_model):
+    cfg, model, variables = tiny_model
+    n = cfg.clip_length
+    imgs = jax.random.normal(jax.random.PRNGKey(3), (n, 64, 64, 3))
+    whwh = jnp.tile(jnp.asarray([[64., 64., 64., 64.]]), (n, 1))
+
+    def loss_fn(params):
+        out = model.apply({'params': params, 'stats': variables['stats']},
+                          imgs, whwh)
+        total = 0.
+        for s in out['stages']:
+            total += jnp.sum(jnp.abs(s['cls_logits']))
+            total += jnp.sum(jnp.abs(s['boxes'])) * 1e-3
+            total += jnp.sum(jnp.abs(s['gaze']['fusion']))
+        return total
+
+    grads = jax.grad(loss_fn)(variables['params'])
+    flat = jax.tree.leaves(jax.tree.map(lambda g: float(jnp.abs(g).sum()),
+                                        grads))
+    # every stage head must receive gradient (the reference needed
+    # find_unused_parameters=True; here all branches contribute)
+    zero_frac = sum(1 for v in flat if v == 0.0) / len(flat)
+    assert zero_frac < 0.05, f'{zero_frac:.2%} of params got zero grads'
