@@ -1,0 +1,70 @@
+"""Device mesh + sharding policy.
+
+The reference scales with NCCL DDP (apis/train.py:113-124); here the whole
+step is one jit over a (data, model) mesh:
+  * 'data'  — batch dim of clips; gradients reduce over it via the psum XLA
+    inserts for the global loss (replacing bucketed NCCL allreduce,
+    mmdet/core/utils/dist_utils.py:15-57).
+  * 'model' — tensor parallelism for the widest GEMMs (the 2048-wide FFN
+    and the 49*C DynamicConv projection); params are sharded along their
+    wide dim, XLA inserts the matching all-reduce on the contracting side.
+
+Multi-host: call jax.distributed.initialize() before make_mesh; arrays are
+addressed per-host via jax.make_array_from_process_local_data.
+"""
+from __future__ import annotations
+
+import re
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# Param path regexes -> PartitionSpec over ('data', 'model') mesh axes.
+# Everything else is replicated.
+_TP_RULES = (
+    (re.compile(r'ffn_fc1/kernel$'), P(None, 'model')),
+    (re.compile(r'ffn_fc1/bias$'), P('model')),
+    (re.compile(r'ffn_fc2/kernel$'), P('model', None)),
+    (re.compile(r'instance_interactive_conv/fc_layer/kernel$'),
+     P('model', None)),
+)
+
+
+def make_mesh(n_data: int | None = None, n_model: int = 1,
+              devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_model
+    devs = np.asarray(devices[:n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(devs, ('data', 'model'))
+
+
+def param_shardings(mesh: Mesh, params: Any):
+    """NamedSharding tree for a param pytree (TP rules, else replicated)."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def spec_for(path):
+        name = '/'.join(
+            p.key if hasattr(p, 'key') else str(p) for p in path)
+        for rx, spec in _TP_RULES:
+            if rx.search(name):
+                return spec
+        return P()
+
+    specs = {jax.tree_util.keystr(p): spec_for(p) for p, _ in flat}
+
+    def assign(path, x):
+        return NamedSharding(mesh, specs[jax.tree_util.keystr(path)])
+
+    return jax.tree_util.tree_map_with_path(assign, params)
+
+
+def batch_sharding(mesh: Mesh):
+    """Shard the leading (batch-of-clips) dim over 'data'."""
+    return NamedSharding(mesh, P('data'))
+
+
+def replicated(mesh: Mesh):
+    return NamedSharding(mesh, P())

@@ -1,0 +1,144 @@
+"""Train-step tests: loss semantics, schedule parity, frozen params, and a
+sharded multi-device step on the virtual mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mcgaze_tpu.models.mcgaze import ModelConfig
+from mcgaze_tpu.parallel.mesh import batch_sharding, make_mesh
+from mcgaze_tpu.train.loop import (OptimConfig, TrainState,
+                                   create_train_state, make_train_step,
+                                   step_warmup_schedule)
+from mcgaze_tpu.train.targets import slot_layout_from_counts
+
+IMG = 32
+
+
+def tiny_cfg():
+    return ModelConfig(clip_length=7)
+
+
+def make_batch(rng, b=2, t=7, img=IMG):
+    imgs = rng.randn(b, t, img, img, 3).astype(np.float32)
+    whwh = np.tile(np.array([img, img, img, img], np.float32), (b, t, 1))
+    boxes = np.zeros((b, t, 3, 4), np.float32)
+    valid = np.zeros((b, t, 3), np.float32)
+    gazes = np.zeros((b, t, 3, 3), np.float32)
+    for i in range(b):
+        for j in range(t):
+            # alternate between full 3-clue frames and head-only frames
+            if (i + j) % 3 == 0:
+                bl = [[4, 4, 28, 28]]
+                gl = [[0, 0, -1]]
+            else:
+                bl = [[8, 8, 16, 16], [10, 10, 14, 12], [4, 4, 28, 28]]
+                gl = [[0, 0, -1]] * 3
+            boxes[i, j], valid[i, j], gazes[i, j] = slot_layout_from_counts(
+                bl, gl)
+    return dict(imgs=jnp.asarray(imgs), img_whwh=jnp.asarray(whwh),
+                gt_boxes=jnp.asarray(boxes), gt_valid=jnp.asarray(valid),
+                gt_gazes=jnp.asarray(gazes))
+
+
+def test_schedule_matches_mmcv_step_warmup():
+    oc = OptimConfig()
+    sched = step_warmup_schedule(oc)
+    # warmup start: factor = ratio
+    assert float(sched(0)) == pytest.approx(1e-3 * 1e-3, rel=1e-4)
+    # mid-warmup t=500: 1 - 0.5*(1-0.001)
+    assert float(sched(500)) == pytest.approx(1e-3 * (1 - 0.5 * 0.999),
+                                              rel=1e-4)
+    assert float(sched(1000)) == pytest.approx(1e-3, rel=1e-5)
+    assert float(sched(5999)) == pytest.approx(1e-3, rel=1e-5)
+    assert float(sched(6000)) == pytest.approx(1e-4, rel=1e-5)
+
+
+def test_train_step_decreases_loss_and_freezes_stem():
+    cfg = tiny_cfg()
+    oc = OptimConfig(warmup_iters=1, warmup_ratio=1.0, grad_clip_norm=10.0,
+                     lr=1e-3)
+    state = create_train_state(cfg, oc, jax.random.PRNGKey(0),
+                               image_size=(IMG, IMG))
+    step = make_train_step(cfg, oc)
+    batch = make_batch(np.random.RandomState(0))
+
+    stem_before = np.asarray(
+        state.params['backbone']['conv1']['kernel']).copy()
+    l1_before = np.asarray(
+        state.params['backbone']['layer1_0']['conv1']['kernel']).copy()
+    l2_before = np.asarray(
+        state.params['backbone']['layer2_0']['conv1']['kernel']).copy()
+    head_before = np.asarray(
+        state.params['bbox_head_0']['ffn_fc1']['kernel']).copy()
+
+    losses = []
+    for _ in range(4):
+        state, logs = step(state, batch)
+        losses.append(float(logs['loss']))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+    np.testing.assert_array_equal(
+        np.asarray(state.params['backbone']['conv1']['kernel']), stem_before)
+    np.testing.assert_array_equal(
+        np.asarray(state.params['backbone']['layer1_0']['conv1']['kernel']),
+        l1_before)
+    assert not np.allclose(
+        np.asarray(state.params['backbone']['layer2_0']['conv1']['kernel']),
+        l2_before)
+    assert not np.allclose(
+        np.asarray(state.params['bbox_head_0']['ffn_fc1']['kernel']),
+        head_before)
+
+
+def test_sharded_step_runs_on_8_device_mesh():
+    cfg = tiny_cfg()
+    oc = OptimConfig()
+    mesh = make_mesh(n_data=4, n_model=2)
+    state = create_train_state(cfg, oc, jax.random.PRNGKey(0),
+                               image_size=(IMG, IMG))
+    step = make_train_step(cfg, oc)
+    batch = make_batch(np.random.RandomState(1), b=4)
+    bs = batch_sharding(mesh)
+    batch = {k: jax.device_put(v, bs) for k, v in batch.items()}
+    state, logs = step(state, batch)
+    assert np.isfinite(float(logs['loss']))
+    assert int(state.step) == 1
+
+
+def test_loss_masks_head_only_frames():
+    """face/eyes losses must come only from 3-GT frames."""
+    from mcgaze_tpu.train.criterion import stage_losses
+    from mcgaze_tpu.train.targets import flatten_targets
+    cfg = tiny_cfg()
+    rng = np.random.RandomState(2)
+    b, t, n = 1, 7, 7
+    # all frames head-only: face/eyes bbox+gaze losses must be exactly 0
+    boxes = np.zeros((b, t, 3, 4), np.float32)
+    valid = np.zeros((b, t, 3), np.float32)
+    gazes = np.zeros((b, t, 3, 3), np.float32)
+    boxes[:, :, 2] = [2, 2, 30, 30]
+    valid[:, :, 2] = 1
+    gazes[:, :, 2] = [0, 0, -1]
+    whwh = np.tile(np.array([32., 32., 32., 32.], np.float32), (b, t, 1))
+    tg = flatten_targets(jnp.asarray(boxes), jnp.asarray(valid),
+                         jnp.asarray(gazes), jnp.asarray(whwh))
+    g = rng.randn(n, 3).astype(np.float32)
+    g /= np.linalg.norm(g, axis=1, keepdims=True)
+    stage_out = dict(
+        cls_logits=jnp.asarray(rng.randn(n, 3, 1).astype(np.float32)),
+        boxes=jnp.asarray(
+            np.tile([[1., 1., 20., 20.]], (n, 3, 1)).astype(np.float32)
+            .reshape(n, 3, 4)),
+        gaze=dict(fusion=jnp.asarray(g), face=jnp.asarray(g),
+                  eyes=jnp.asarray(g), head=jnp.asarray(g)),
+    )
+    out = stage_losses(cfg, stage_out, tg, t)
+    assert float(out['face_loss_bbox']) == 0.0
+    assert float(out['eyes_loss_bbox']) == 0.0
+    assert float(out['face_gaze_loss']) == 0.0
+    assert float(out['head_loss_bbox']) > 0.0
+    assert float(out['head_gaze_loss']) > 0.0
+    # cls loss is never zero: negatives contribute focal background term
+    assert float(out['face_loss_cls']) > 0.0
