@@ -1,0 +1,38 @@
+"""Checkpoint IO (orbax) — replaces mmcv CheckpointHook + load_checkpoint
+(reference apis/train.py:164-170, apis/inference.py:46)."""
+from __future__ import annotations
+
+import os
+import os.path as osp
+import re
+from typing import Any
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def save_checkpoint(work_dir: str, step: int, tree: Any) -> str:
+    path = osp.abspath(osp.join(work_dir, f'ckpt_{step}'))
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, tree, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def restore_checkpoint(path: str, target: Any) -> Any:
+    """Restore a pytree saved by save_checkpoint; `target` supplies the
+    structure/shape skeleton (e.g. freshly-initialised variables)."""
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(osp.abspath(path), target)
+
+
+def find_latest_checkpoint(work_dir: str) -> str | None:
+    """Auto-resume discovery (reference apis/train.py:199-208)."""
+    if not osp.isdir(work_dir):
+        return None
+    best, best_step = None, -1
+    for name in os.listdir(work_dir):
+        m = re.fullmatch(r'ckpt_(\d+)', name)
+        if m and int(m.group(1)) > best_step:
+            best, best_step = osp.join(work_dir, name), int(m.group(1))
+    return best

@@ -1,0 +1,218 @@
+"""Torch (mmdet/torchvision) checkpoint -> mcgaze_tpu variables.
+
+Maps the reference's state_dict names (mmdet MultiClueGaze modules; see
+mmdet/models/roi_heads/bbox_heads/gaze_stqi_head.py and
+mask_heads/gaze_head.py for the layer definitions) onto this package's
+flax param tree. Layout conventions:
+  * torch Linear weight (out, in)    -> Dense kernel (in, out): transpose
+  * torch Conv weight  (O, I, H, W)  -> flax Conv kernel (H, W, I, O)
+  * BatchNorm running_mean/var       -> 'stats' collection
+  * torch MHA in_proj/out_proj       -> attention/qkv + attention/out
+
+Also understands plain torchvision resnet50 state_dicts (for the
+`torchvision://resnet50` pretrained init of the reference config) via
+`convert_torchvision_resnet`.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import numpy as np
+
+
+def _t(w):
+    return np.ascontiguousarray(np.asarray(w).T)
+
+
+def _conv(w):
+    return np.ascontiguousarray(np.transpose(np.asarray(w), (2, 3, 1, 0)))
+
+
+def _set(tree: Dict, path: str, value):
+    keys = path.split('/')
+    node = tree
+    for k in keys[:-1]:
+        node = node.setdefault(k, {})
+    node[keys[-1]] = value
+
+
+def _bn(params, stats, jx, tk, sd):
+    _set(params, f'{jx}/scale', np.asarray(sd[f'{tk}.weight']))
+    _set(params, f'{jx}/bias', np.asarray(sd[f'{tk}.bias']))
+    _set(stats, f'{jx}/mean', np.asarray(sd[f'{tk}.running_mean']))
+    _set(stats, f'{jx}/var', np.asarray(sd[f'{tk}.running_var']))
+
+
+def _linear(params, jx, tk, sd, transpose=True):
+    _set(params, f'{jx}/kernel',
+         _t(sd[f'{tk}.weight']) if transpose else np.asarray(
+             sd[f'{tk}.weight']))
+    if f'{tk}.bias' in sd:
+        _set(params, f'{jx}/bias', np.asarray(sd[f'{tk}.bias']))
+
+
+def _ln(params, jx, tk, sd):
+    _set(params, f'{jx}/scale', np.asarray(sd[f'{tk}.weight']))
+    _set(params, f'{jx}/bias', np.asarray(sd[f'{tk}.bias']))
+
+
+def convert_backbone(params, stats, sd, prefix='backbone.'):
+    """mmdet/torchvision resnet names -> backbone/* tree."""
+    _set(params, 'backbone/conv1/kernel', _conv(sd[prefix + 'conv1.weight']))
+    _bn(params, stats, 'backbone/bn1', prefix + 'bn1', sd)
+    blocks = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}[50]
+    for s, n in enumerate(blocks):
+        for i in range(n):
+            tb = f'{prefix}layer{s + 1}.{i}'
+            jb = f'backbone/layer{s + 1}_{i}'
+            for j in (1, 2, 3):
+                _set(params, f'{jb}/conv{j}/kernel',
+                     _conv(sd[f'{tb}.conv{j}.weight']))
+                _bn(params, stats, f'{jb}/bn{j}', f'{tb}.bn{j}', sd)
+            if f'{tb}.downsample.0.weight' in sd:
+                _set(params, f'{jb}/downsample_conv/kernel',
+                     _conv(sd[f'{tb}.downsample.0.weight']))
+                _bn(params, stats, f'{jb}/downsample_bn',
+                    f'{tb}.downsample.1', sd)
+
+
+def _mlp_tower(params, jx, tk_list, sd):
+    """tk_list: [(linear_key, ln_key), ...] per layer."""
+    for i, (lin, ln) in enumerate(tk_list):
+        _linear(params, f'{jx}/fc{i}', lin, sd)
+        _ln(params, f'{jx}/ln{i}', ln, sd)
+
+
+def convert_mcgaze_checkpoint_dict(sd: dict, num_stages: int = 4) -> dict:
+    """Full MCGaze .pth state_dict -> {'params':..., 'stats':...} nested
+    dicts of numpy arrays (caller merges into init shapes)."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    sd = {k[len('module.'):] if k.startswith('module.') else k: v
+          for k, v in sd.items()}
+
+    convert_backbone(params, stats, sd)
+
+    for i in range(4):
+        _linear(params, f'neck/lateral_{i}',
+                f'neck.lateral_convs.{i}.conv', sd, transpose=False)
+        _set(params, f'neck/lateral_{i}/kernel',
+             _conv(sd[f'neck.lateral_convs.{i}.conv.weight']))
+        _set(params, f'neck/lateral_{i}/bias',
+             np.asarray(sd[f'neck.lateral_convs.{i}.conv.bias']))
+        _set(params, f'neck/fpn_{i}/kernel',
+             _conv(sd[f'neck.fpn_convs.{i}.conv.weight']))
+        _set(params, f'neck/fpn_{i}/bias',
+             np.asarray(sd[f'neck.fpn_convs.{i}.conv.bias']))
+
+    _set(params, 'init_proposal_bboxes',
+         np.asarray(sd['rpn_head.init_proposal_bboxes.weight']))
+    _set(params, 'init_proposal_features',
+         np.asarray(sd['rpn_head.init_proposal_features.weight']))
+
+    for s in range(num_stages):
+        tb = f'roi_head.bbox_head.{s}'
+        jb = f'bbox_head_{s}'
+        # mmcv MultiheadAttention wraps torch MHA as `.attn`
+        _set(params, f'{jb}/attention/qkv/kernel',
+             _t(sd[f'{tb}.attention.attn.in_proj_weight']))
+        _set(params, f'{jb}/attention/qkv/bias',
+             np.asarray(sd[f'{tb}.attention.attn.in_proj_bias']))
+        _linear(params, f'{jb}/attention/out',
+                f'{tb}.attention.attn.out_proj', sd)
+        _ln(params, f'{jb}/attention_norm', f'{tb}.attention_norm', sd)
+
+        dc = f'{tb}.instance_interactive_conv'
+        jdc = f'{jb}/instance_interactive_conv'
+        _linear(params, f'{jdc}/dynamic_layer', f'{dc}.dynamic_layer', sd)
+        _ln(params, f'{jdc}/norm_in', f'{dc}.norm_in', sd)
+        _ln(params, f'{jdc}/norm_out', f'{dc}.norm_out', sd)
+        _linear(params, f'{jdc}/fc_layer', f'{dc}.fc_layer', sd)
+        _ln(params, f'{jdc}/fc_norm', f'{dc}.fc_norm', sd)
+        _ln(params, f'{jb}/iic_norm',
+            f'{tb}.instance_interactive_conv_norm', sd)
+
+        # mmcv FFN: layers.0.0 (Linear) + layers.1 (Linear)
+        _linear(params, f'{jb}/ffn_fc1', f'{tb}.ffn.layers.0.0', sd)
+        _linear(params, f'{jb}/ffn_fc2', f'{tb}.ffn.layers.1', sd)
+        _ln(params, f'{jb}/ffn_norm', f'{tb}.ffn_norm', sd)
+
+        # cls tower: cls_fcs = [Linear, LN, ReLU] * num_cls_fcs
+        _mlp_tower(params, f'{jb}/cls_tower',
+                   [(f'{tb}.cls_fcs.0', f'{tb}.cls_fcs.1')], sd)
+        # reg tower: reg_fcs = [Linear, LN, ReLU] * 3
+        _mlp_tower(params, f'{jb}/reg_tower',
+                   [(f'{tb}.reg_fcs.{3 * i}', f'{tb}.reg_fcs.{3 * i + 1}')
+                    for i in range(3)], sd)
+        for clue in ('face', 'eyes', 'head'):
+            _linear(params, f'{jb}/{clue}_fc_cls', f'{tb}.{clue}_fc_cls', sd)
+            _linear(params, f'{jb}/{clue}_fc_reg', f'{tb}.{clue}_fc_reg', sd)
+
+        tg = f'roi_head.gaze_head.{s}'
+        jg = f'gaze_head_{s}'
+        for clue in ('face', 'eyes', 'head'):
+            _mlp_tower(params, f'{jg}/gaze_{clue}_fcs',
+                       [(f'{tg}.gaze_{clue}_fcs.{3 * i}',
+                         f'{tg}.gaze_{clue}_fcs.{3 * i + 1}')
+                        for i in range(2)], sd)
+            _mlp_tower(params, f'{jg}/gaze_{clue}_confidence',
+                       [(f'{tg}.gaze_{clue}_confidence.{3 * i}',
+                         f'{tg}.gaze_{clue}_confidence.{3 * i + 1}')
+                        for i in range(2)], sd)
+            _linear(params, f'{jg}/fc_{clue}', f'{tg}.fc_{clue}', sd)
+            _linear(params, f'{jg}/fc_{clue}_confidence',
+                    f'{tg}.fc_{clue}_confidence', sd)
+        _linear(params, f'{jg}/fc_gaze', f'{tg}.fc_gaze', sd)
+
+    return dict(params=params, stats=stats)
+
+
+def _merge(dst, src, path=''):
+    """Merge converted arrays into the init tree, verifying shapes."""
+    import jax.numpy as jnp
+    out = {}
+    for k, v in dst.items():
+        p = f'{path}/{k}'
+        if k in src:
+            if isinstance(v, dict):
+                out[k] = _merge(v, src[k], p)
+            else:
+                assert tuple(v.shape) == tuple(src[k].shape), \
+                    f'{p}: init {v.shape} vs ckpt {src[k].shape}'
+                out[k] = jnp.asarray(src[k], v.dtype)
+        else:
+            out[k] = v
+    return out
+
+
+def convert_torch_checkpoint(path: str, variables: dict,
+                             num_stages: int = 4) -> dict:
+    """Load a torch .pth and merge into freshly-initialised variables."""
+    import torch
+    ckpt = torch.load(path, map_location='cpu', weights_only=False)
+    sd = ckpt.get('state_dict', ckpt)
+    sd = {k: v.numpy() if hasattr(v, 'numpy') else v for k, v in sd.items()}
+    conv = convert_mcgaze_checkpoint_dict(sd, num_stages)
+    return {
+        'params': _merge(variables['params'], conv['params']),
+        'stats': _merge(variables['stats'], conv['stats']),
+    }
+
+
+def convert_torchvision_resnet(path_or_sd, variables: dict) -> dict:
+    """torchvision resnet50 .pth -> backbone-only init (pretrained
+    backbone as in the reference's init_cfg torchvision://resnet50)."""
+    if isinstance(path_or_sd, str):
+        import torch
+        sd = torch.load(path_or_sd, map_location='cpu', weights_only=False)
+        sd = sd.get('state_dict', sd)
+        sd = {k: v.numpy() for k, v in sd.items()}
+    else:
+        sd = path_or_sd
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    convert_backbone(params, stats, sd, prefix='')
+    return {
+        'params': _merge(variables['params'], params),
+        'stats': _merge(variables['stats'], stats),
+    }

@@ -1,0 +1,87 @@
+"""CLI end-to-end smoke: train (synthetic) -> checkpoint -> eval driver ->
+results JSON -> MAE scorer, all through the tools/ entry points as a user
+would run them. Tiny shapes keep single-core CPU compiles tolerable."""
+import json
+import os
+import os.path as osp
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+from tests.test_data_and_driver import make_dataset
+
+REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
+
+TINY_CFG = textwrap.dedent("""
+    from mcgaze_tpu.data.dataset import DataConfig
+    from mcgaze_tpu.evaluation.driver import EvalConfig
+    from mcgaze_tpu.models.mcgaze import ModelConfig
+    from mcgaze_tpu.train.loop import OptimConfig
+
+    model = ModelConfig(clip_length=7)
+    optim = OptimConfig(max_iters=2, warmup_iters=1)
+    data_train = DataConfig(ann_file={ann!r}, img_prefix={prefix!r},
+                            scale=(32, 32), canvas=(32, 32),
+                            crop_size=0.68, batch_size=1)
+    data_test = data_train
+    eval_cfg = EvalConfig(scale=(32, 32), canvas=(32, 32), crop_ratio=0.84,
+                          clip_batch=2)
+    checkpoint_interval = 2
+    work_dir = {work_dir!r}
+""")
+
+
+def run(args, **kw):
+    env = dict(os.environ)
+    env['JAX_PLATFORMS'] = 'cpu'
+    env.pop('XLA_FLAGS', None)
+    return subprocess.run([sys.executable] + args, cwd=REPO, env=env,
+                          capture_output=True, text=True, timeout=900, **kw)
+
+
+@pytest.fixture(scope='module')
+def workspace(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp('cli'))
+    ann, prefix = make_dataset(root)
+    cfg_path = osp.join(root, 'tiny_cfg.py')
+    work_dir = osp.join(root, 'work')
+    with open(cfg_path, 'w') as f:
+        f.write(TINY_CFG.format(ann=ann, prefix=prefix, work_dir=work_dir))
+    return dict(root=root, ann=ann, prefix=prefix, cfg=cfg_path,
+                work_dir=work_dir)
+
+
+def test_train_eval_mae_cli(workspace):
+    ws = workspace
+    # 1) train 2 synthetic iters, save a checkpoint
+    r = run(['tools/train.py', ws['cfg'], '--synthetic'])
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert 'saved' in r.stdout
+    ckpts = [d for d in os.listdir(ws['work_dir']) if d.startswith('ckpt_')]
+    assert ckpts, r.stdout
+
+    # 2) train again on the REAL synthetic dataset for 1 iter (data path)
+    r = run(['tools/train.py', ws['cfg'], '--max-iters', '1',
+             '--work-dir', osp.join(ws['root'], 'work2')])
+    assert r.returncode == 0, r.stderr[-3000:]
+
+    # 3) eval from the checkpoint through the test tool
+    ckpt = osp.join(ws['work_dir'], sorted(ckpts)[-1])
+    r = run(['tools/test_gaze360_gaze.py', ws['cfg'], ckpt,
+             '--json', ws['ann'], '--root', ws['prefix'],
+             '--out-dir', osp.join(ws['root'], 'results')])
+    assert r.returncode == 0, r.stderr[-3000:]
+    res_files = os.listdir(osp.join(ws['root'], 'results'))
+    assert len(res_files) == 1
+    res_path = osp.join(ws['root'], 'results', res_files[0])
+    results = json.load(open(res_path))
+    assert len(results) == 2  # two synthetic videos
+    assert len(results[0]['fusion_gazes']) == 12
+
+    # 4) score with the MAE tool
+    r = run(['tools/calculate_mae_gaze360.py', '--evalfile', res_path,
+             '--anno', ws['ann']])
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert 'mean angular front 90' in r.stdout

@@ -1,0 +1,82 @@
+"""Config loader tests: native configs + legacy mmdet-style translation."""
+import textwrap
+
+from mcgaze_tpu.utils.config import load_config, load_legacy_dict
+
+
+def test_native_configs_load():
+    for name in ('multiclue_gaze_r50_gaze360', 'multiclue_gaze_r50_l2cs'):
+        cfg = load_config(f'configs/multiclue_gaze/{name}.py')
+        assert cfg.model.num_stages == 4
+        assert cfg.model.clip_length == 7
+    g = load_config('configs/multiclue_gaze/multiclue_gaze_r50_gaze360.py')
+    l = load_config('configs/multiclue_gaze/multiclue_gaze_r50_l2cs.py')
+    assert g.data_train.scale == (224, 224) and g.data_train.crop_size
+    assert l.data_train.scale == (448, 448) and l.data_train.crop_size is None
+    assert l.optim.max_iters == 13000 and l.optim.lr_steps == (12000,)
+
+
+def test_legacy_config_surface(tmp_path):
+    base = tmp_path / 'base.py'
+    base.write_text(textwrap.dedent("""
+        optimizer = dict(type='SGD', lr=0.02, momentum=0.9)
+        lr_config = dict(policy='step', warmup='linear', warmup_iters=500,
+                         warmup_ratio=0.001, step=[8, 11])
+        data = dict(samples_per_gpu=2,
+                    train=dict(ann_file='a.json', img_prefix='imgs/',
+                               clip_length=7,
+                               pipeline=[dict(type='CenterCrop',
+                                              crop_size=(0.68, 0.68)),
+                                         dict(type='Resize',
+                                              img_scale=(224, 224)),
+                                         dict(type='RandomFlip',
+                                              flip_ratio=0.5)]),
+                    test=dict(ann_file='t.json', img_prefix='imgs/',
+                              clip_length=7,
+                              pipeline=[dict(type='Resize',
+                                             img_scale=(224, 224))]))
+        """))
+    child = tmp_path / 'child.py'
+    child.write_text(textwrap.dedent("""
+        _base_ = ['base.py']
+        clip_length = 7
+        model = dict(
+            type='MultiClueGaze',
+            backbone=dict(type='ResNet', depth=50),
+            roi_head=dict(
+                type='MultiClueGazeROIHead', num_stages=4,
+                stage_loss_weights=[1, 1, 1, 1],
+                bbox_head=[dict(loss_cls=dict(type='FocalLoss', gamma=2.0,
+                                              alpha=0.25, loss_weight=2.0),
+                                loss_bbox=dict(loss_weight=5.0),
+                                loss_iou=dict(loss_weight=2.0))] * 4,
+                gaze_head=[dict(loss_gaze=dict(loss_weight=6.0),
+                                loss_temp=dict(loss_weight=1.0))] * 4))
+        optimizer = dict(_delete_=True, type='AdamW', lr=0.001,
+                         weight_decay=0.0001,
+                         paramwise_cfg=dict(custom_keys={
+                             'backbone': dict(lr_mult=0.1)}))
+        optimizer_config = dict(_delete_=True,
+                                grad_clip=dict(max_norm=0.1))
+        lr_config = dict(policy='step', step=[6000], warmup_iters=1000)
+        runner = dict(_delete_=True, type='IterBasedRunner', max_iters=7000)
+        work_dir = './work_dirs/xyz'
+        """))
+    merged = load_legacy_dict(str(child))
+    # _delete_ replaced the SGD base optimizer entirely
+    assert merged['optimizer']['type'] == 'AdamW'
+    assert 'momentum' not in merged['optimizer']
+    # recursive merge kept base warmup_ratio under override of step
+    assert merged['lr_config']['step'] == [6000]
+    assert merged['lr_config']['warmup_ratio'] == 0.001
+
+    cfg = load_config(str(child))
+    assert cfg.optim.lr == 0.001
+    assert cfg.optim.backbone_lr_mult == 0.1
+    assert cfg.optim.grad_clip_norm == 0.1
+    assert cfg.optim.lr_steps == (6000,)
+    assert cfg.optim.max_iters == 7000
+    assert cfg.model.loss_gaze_weight == 6.0
+    assert cfg.data_train.crop_size == 0.68
+    assert cfg.data_train.batch_size == 2
+    assert cfg.work_dir == './work_dirs/xyz'

@@ -1,0 +1,170 @@
+"""Data pipeline + eval driver integration on a synthetic COCO-VID dataset
+(fabricated on disk, mirroring the shipped train/test.json layout with
+face/eyes/head instance tracks)."""
+import json
+import os.path as osp
+
+import cv2
+import numpy as np
+import pytest
+
+from mcgaze_tpu.data.dataset import DataConfig, Gaze360ClipDataset
+from mcgaze_tpu.evaluation.driver import (EvalConfig, VideoGazeEvaluator,
+                                          clip_slices)
+
+W, H = 64, 48
+
+
+def make_dataset(root, num_videos=2, length=12, head_only_frames=(3,)):
+    videos, annotations = [], []
+    rng = np.random.RandomState(0)
+    ann_id = 1
+    for vid in range(1, num_videos + 1):
+        names = []
+        for f in range(length):
+            name = f'{vid:03d}/{f:05d}.png'
+            path = osp.join(root, 'frames', name)
+            import os
+            os.makedirs(osp.dirname(path), exist_ok=True)
+            img = rng.randint(0, 255, (H, W, 3), np.uint8)
+            cv2.imwrite(path, img)
+            names.append(name)
+        videos.append(dict(id=vid, width=W, height=H, length=length,
+                           file_names=names))
+        # three instance tracks: face, eyes, head
+        gaze = rng.randn(length, 3)
+        gaze /= np.linalg.norm(gaze, axis=1, keepdims=True)
+        boxes = dict(
+            face=[[20, 10, 20, 14]] * length,
+            eyes=[[22, 14, 16, 5]] * length,
+            head=[[14, 4, 32, 30]] * length,
+        )
+        for clue in ('face', 'eyes', 'head'):
+            bbs = [list(b) for b in boxes[clue]]
+            for f in head_only_frames:
+                if clue != 'head':
+                    bbs[f] = None
+            annotations.append(dict(
+                id=ann_id, video_id=vid, category_id=1,
+                bboxes=bbs, gaze=gaze.tolist()))
+            ann_id += 1
+    data = dict(videos=videos, annotations=annotations,
+                categories=[dict(id=1, name='person_face')])
+    ann_path = osp.join(root, 'train.json')
+    json.dump(data, open(ann_path, 'w'))
+    return ann_path, osp.join(root, 'frames/')
+
+
+@pytest.fixture(scope='module')
+def synth(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp('gaze360'))
+    ann, prefix = make_dataset(root)
+    cfg = DataConfig(ann_file=ann, img_prefix=prefix, clip_length=7,
+                     scale=(32, 32), canvas=(32, 32), crop_size=0.68,
+                     flip_ratio=0.5, batch_size=2)
+    return Gaze360ClipDataset(cfg), ann, prefix
+
+
+def test_index_and_clip_window(synth):
+    ds, _, _ = synth
+    assert len(ds) == 24  # every frame has the head track
+    # centre frame 0: window pads left with the first annotated frame
+    clip = ds._clip_frames(1, 0)
+    assert len(clip) == 7
+    assert clip == [0, 0, 0, 0, 1, 2, 3]
+    clip = ds._clip_frames(1, 11)
+    assert clip == [8, 9, 10, 11, 11, 11, 11]
+    clip = ds._clip_frames(1, 6)
+    assert clip == [3, 4, 5, 6, 7, 8, 9]
+
+
+def test_clip_gt_layout(synth):
+    ds, _, _ = synth
+    clip = None
+    while clip is None:
+        clip = ds.get_clip(0)  # (vid 1, frame 0)
+    assert clip['imgs'].shape == (7, 32, 32, 3)
+    assert clip['gt_valid'].shape == (7, 3)
+    # frame 3 of video 1 is head-only: find its position in the window of
+    # some clip containing it
+    idx3 = ds.index.index((1, 3))
+    c = None
+    while c is None:
+        c = ds.get_clip(idx3)
+    window = ds._clip_frames(1, 3)
+    pos = window.index(3)
+    np.testing.assert_array_equal(c['gt_valid'][pos], [0, 0, 1])
+    # and gaze lives in slot 2 for that frame
+    assert np.linalg.norm(c['gt_gazes'][pos, 2]) > 0.5
+    assert np.linalg.norm(c['gt_gazes'][pos, 0]) == 0.0
+
+
+def test_batches_shapes(synth):
+    ds, _, _ = synth
+    batch = next(ds.batches(batch_size=2, seed=1))
+    assert batch['imgs'].shape == (2, 7, 32, 32, 3)
+    assert batch['gt_boxes'].shape == (2, 7, 3, 4)
+    assert np.isfinite(batch['imgs']).all()
+    # boxes must live inside the canvas
+    assert batch['gt_boxes'].max() <= 32.0 + 1e-5
+
+
+def test_clip_slices_match_reference_math():
+    # L=12, clip 7 stride 4: 3 clips, last right-aligned with overlap 6
+    assert clip_slices(12, 7, 4) == [(0, 7, 0), (4, 7, 3), (5, 7, 6)]
+    # exact multiple: L=15 -> (15-7)%4==0 -> last overlap = 3
+    assert clip_slices(15, 7, 4) == [(0, 7, 0), (4, 7, 3), (8, 7, 3)]
+    assert clip_slices(5, 7, 4) == [(0, 5, 0)]
+
+
+def test_driver_stitching_identity():
+    """A forward that encodes the global frame id in its outputs must come
+    back per-frame aligned after stitching."""
+    cfg = EvalConfig(scale=(32, 32), canvas=(32, 32), crop_ratio=None,
+                     clip_batch=3)
+    frames = [np.full((H, W, 3), i, np.uint8) for i in range(12)]
+
+    def forward(imgs, whwh, t):
+        k = imgs.shape[0]
+        # recover the frame id stamped into the (normalised) pixels
+        from mcgaze_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+        pix = imgs[:, 0, 0, 0] * IMAGENET_STD[0] + IMAGENET_MEAN[0]
+        fid = np.round(pix).astype(np.float32)
+        boxes = np.zeros((k, 3, 4), np.float32)
+        boxes[:, :, 0] = 1.0
+        boxes[:, :, 2] = 2.0
+        boxes[:, :, 1] = 1.0
+        boxes[:, :, 3] = 2.0
+        scores = np.ones((k, 3), np.float32)
+        g = np.stack([fid, np.zeros(k, np.float32),
+                      -np.ones(k, np.float32)], -1)
+        gaze = dict(fusion=g, face=g, eyes=g, head=g)
+        return boxes, scores, gaze
+
+    ev = VideoGazeEvaluator(forward, cfg)
+    res = ev.run_video(frames, video_id=7)
+    assert res['video_id'] == 7
+    fus = np.asarray(res['fusion_gazes'])
+    assert fus.shape == (12, 3)
+    # stitched x-component must equal the frame id everywhere (overlap
+    # regions average identical values)
+    np.testing.assert_allclose(fus[:, 0], np.arange(12), atol=1e-4)
+    # boxes above threshold survive, converted to xywh
+    assert res['head_bboxes'][0] is not None
+    assert len(res['head_bboxes']) == 12
+
+
+def test_driver_zeroes_low_score_boxes():
+    cfg = EvalConfig(scale=(32, 32), canvas=(32, 32), crop_ratio=None)
+    frames = [np.zeros((H, W, 3), np.uint8) for _ in range(7)]
+
+    def forward(imgs, whwh, t):
+        k = imgs.shape[0]
+        boxes = np.full((k, 3, 4), 5.0, np.float32)
+        scores = np.full((k, 3), 0.1, np.float32)  # all below threshold
+        g = np.tile(np.array([[0., 0., -1.]], np.float32), (k, 1))
+        return boxes, scores, dict(fusion=g, face=g, eyes=g, head=g)
+
+    res = VideoGazeEvaluator(forward, cfg).run_video(frames, 1)
+    assert all(b is None for b in res['face_bboxes'])
+    assert res['face_score'][0] == pytest.approx(0.1)

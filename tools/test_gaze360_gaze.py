@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Gaze evaluation entry (reference CLI surface: tools/test_gaze360_gaze.py
+<config> <checkpoint> --json --root). Writes the per-video results JSON
+consumed by tools/calculate_mae_gaze360.py.
+
+The checkpoint may be an orbax dir written by tools/train.py or a torch
+.pth from the reference repo (converted on the fly)."""
+import argparse
+import json
+import os
+import os.path as osp
+import sys
+import time
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+import cv2
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument('config')
+    p.add_argument('checkpoint', nargs='?', default=None,
+                   help='orbax dir or torch .pth; omit for random init')
+    p.add_argument('--json', default='data/gaze360/test.json')
+    p.add_argument('--root', default='data/gaze360/test_rawframes/')
+    p.add_argument('--out-dir', default='results')
+    p.add_argument('--clip-batch', type=int, default=8)
+    p.add_argument('--max-videos', type=int, default=0)
+    p.add_argument('--dtype', default=None,
+                   help="override model dtype (e.g. bfloat16)")
+    return p.parse_args()
+
+
+def build_forward(cfg, checkpoint, dtype=None):
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from mcgaze_tpu.models.mcgaze import init_model
+    from mcgaze_tpu.utils.checkpoint import restore_checkpoint
+
+    model_cfg = cfg.model
+    if dtype:
+        model_cfg = dataclasses.replace(model_cfg, dtype=dtype)
+    model, variables = init_model(model_cfg, jax.random.PRNGKey(0),
+                                  image_size=cfg.eval_cfg.canvas)
+    if checkpoint:
+        if checkpoint.endswith(('.pth', '.pt')):
+            from mcgaze_tpu.utils.torch_convert import convert_torch_checkpoint
+            variables = convert_torch_checkpoint(checkpoint, variables)
+        else:
+            variables = restore_checkpoint(checkpoint, dict(
+                params=variables['params'], stats=variables['stats']))
+            variables = {'params': variables['params'],
+                         'stats': variables['stats']}
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=('t',))
+    def fwd(variables, imgs, whwh, t):
+        out = model.apply(variables, imgs, whwh, clip_length=t)
+        last = out['stages'][-1]
+        return (last['boxes'], jax.nn.sigmoid(last['cls_logits'])[..., 0],
+                last['gaze'])
+
+    def forward(imgs, whwh, t):
+        boxes, scores, gaze = fwd(variables, jnp.asarray(imgs),
+                                  jnp.asarray(whwh), t)
+        return (np.asarray(boxes), np.asarray(scores),
+                {k: np.asarray(v) for k, v in gaze.items()})
+
+    return forward
+
+
+def main():
+    args = parse_args()
+    from mcgaze_tpu.evaluation.driver import VideoGazeEvaluator
+    from mcgaze_tpu.utils.config import load_config
+    import dataclasses
+
+    cfg = load_config(args.config)
+    eval_cfg = dataclasses.replace(cfg.eval_cfg, clip_batch=args.clip_batch)
+    forward = build_forward(cfg, args.checkpoint, args.dtype)
+    evaluator = VideoGazeEvaluator(forward, eval_cfg)
+
+    anno = json.load(open(args.json))
+    videos = anno['videos']
+    if args.max_videos:
+        videos = videos[:args.max_videos]
+
+    results = []
+    t0 = time.time()
+    total_frames = 0
+    for i, video in enumerate(videos):
+        frames = []
+        for name in video['file_names']:
+            img = cv2.imread(osp.join(args.root, name))
+            if img is None:
+                raise FileNotFoundError(osp.join(args.root, name))
+            frames.append(cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
+        results.append(evaluator.run_video(frames, video['id']))
+        total_frames += len(frames)
+        if (i + 1) % 50 == 0:
+            print(f'{i + 1}/{len(videos)} videos, '
+                  f'{total_frames / (time.time() - t0):.1f} frames/s')
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    cfg_name = osp.basename(args.config)
+    cfg_name = cfg_name[:-3] if cfg_name.endswith('.py') else cfg_name
+    write_path = osp.join(
+        args.out_dir, f'results_{cfg_name}_{osp.basename(args.json)}')
+    json.dump(results, open(write_path, 'w'))
+    print(f'wrote {write_path} '
+          f'({len(results)} videos, {total_frames} frames, '
+          f'{total_frames / (time.time() - t0):.1f} frames/s)')
+
+
+if __name__ == '__main__':
+    main()

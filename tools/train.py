@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Train MCGaze (reference CLI surface: tools/train.py <config>).
+
+Examples:
+  python tools/train.py configs/multiclue_gaze/multiclue_gaze_r50_gaze360.py
+  python tools/train.py <cfg> --synthetic --max-iters 20   # smoke test
+"""
+import argparse
+import json
+import os
+import os.path as osp
+import sys
+import time
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument('config')
+    p.add_argument('--work-dir')
+    p.add_argument('--max-iters', type=int)
+    p.add_argument('--seed', type=int, default=0)
+    p.add_argument('--resume-from')
+    p.add_argument('--auto-resume', action='store_true')
+    p.add_argument('--synthetic', action='store_true',
+                   help='random batches instead of the dataset (smoke)')
+    p.add_argument('--log-interval', type=int)
+    return p.parse_args()
+
+
+def synthetic_batches(cfg, seed=0):
+    from mcgaze_tpu.train.targets import slot_layout_from_counts
+    rng = np.random.RandomState(seed)
+    b, t = cfg.data_train.batch_size, cfg.model.clip_length
+    h, w = cfg.data_train.canvas
+    while True:
+        boxes = np.zeros((b, t, 3, 4), np.float32)
+        valid = np.zeros((b, t, 3), np.float32)
+        gazes = np.zeros((b, t, 3, 3), np.float32)
+        for i in range(b):
+            for j in range(t):
+                g = rng.randn(3)
+                g /= np.linalg.norm(g)
+                bb, vv, gg = slot_layout_from_counts(
+                    [[20, 20, 120, 120], [30, 40, 90, 70],
+                     [10, 10, 160, 160]], [g.tolist()] * 3)
+                boxes[i, j], valid[i, j], gazes[i, j] = bb, vv, gg
+        yield dict(
+            imgs=rng.randn(b, t, h, w, 3).astype(np.float32),
+            img_whwh=np.tile(np.array([w, h, w, h], np.float32),
+                             (b, t, 1)),
+            gt_boxes=boxes, gt_valid=valid, gt_gazes=gazes)
+
+
+def main():
+    args = parse_args()
+    import jax
+    from mcgaze_tpu.data.dataset import Gaze360ClipDataset
+    from mcgaze_tpu.parallel.mesh import batch_sharding, make_mesh
+    from mcgaze_tpu.train.loop import create_train_state, make_train_step
+    from mcgaze_tpu.utils.checkpoint import (find_latest_checkpoint,
+                                             restore_checkpoint,
+                                             save_checkpoint)
+    from mcgaze_tpu.utils.config import load_config
+
+    cfg = load_config(args.config)
+    work_dir = args.work_dir or cfg.work_dir
+    os.makedirs(work_dir, exist_ok=True)
+    max_iters = args.max_iters or cfg.optim.max_iters
+    log_interval = args.log_interval or cfg.log_interval
+
+    state = create_train_state(cfg.model, cfg.optim,
+                               jax.random.PRNGKey(args.seed),
+                               image_size=cfg.data_train.canvas)
+    resume = args.resume_from or (
+        find_latest_checkpoint(work_dir) if args.auto_resume else None)
+    if resume:
+        state = restore_checkpoint(resume, state)
+        print(f'resumed from {resume} at step {int(state.step)}')
+
+    if args.synthetic:
+        batches = synthetic_batches(cfg, args.seed)
+    else:
+        ds = Gaze360ClipDataset(cfg.data_train, seed=args.seed)
+        print(f'dataset: {len(ds)} annotated frames')
+        batches = ds.batches(seed=args.seed)
+
+    mesh = make_mesh(n_model=1)
+    bs = batch_sharding(mesh)
+    step_fn = make_train_step(cfg.model, cfg.optim)
+
+    log_path = osp.join(work_dir, 'train_log.jsonl')
+    t0 = time.time()
+    start_step = int(state.step)
+    for it in range(start_step, max_iters):
+        batch = {k: jax.device_put(v, bs) for k, v in next(batches).items()}
+        state, logs = step_fn(state, batch)
+        if (it + 1) % log_interval == 0 or it + 1 == max_iters:
+            loss = float(logs['loss'])
+            dt = (time.time() - t0) / (it + 1 - start_step)
+            line = dict(step=it + 1, loss=round(loss, 4),
+                        grad_norm=round(float(logs['grad_norm']), 4),
+                        sec_per_iter=round(dt, 3))
+            print(json.dumps(line))
+            with open(log_path, 'a') as f:
+                f.write(json.dumps(line) + '\n')
+        if (it + 1) % cfg.checkpoint_interval == 0 or it + 1 == max_iters:
+            path = save_checkpoint(work_dir, it + 1, dict(
+                params=state.params, stats=state.stats))
+            print(f'saved {path}')
+
+
+if __name__ == '__main__':
+    main()
