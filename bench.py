@@ -14,7 +14,7 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument('--batch', type=int, default=16,
+    ap.add_argument('--batch', type=int, default=32,
                     help='clips per device per step')
     ap.add_argument('--iters', type=int, default=20)
     ap.add_argument('--warmup', type=int, default=3)

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..geometry import bbox_cxcywh_to_xyxy, delta2bbox
-from ..ops.roi_align import roi_align_fpn
+from ..ops.roi_align import roi_align_fpn_mm
 from .fpn import FPN
 from .heads import GazeHead, STQIHead
 from .resnet import ResNet
@@ -109,7 +109,7 @@ class MCGazeModel(nn.Module):
             # The reference feeds *detached* boxes forward between stages
             # (detach_proposal_list, multiclue_gaze_roi_head.py:134).
             rois = jax.lax.stop_gradient(boxes)
-            roi_feat = roi_align_fpn(
+            roi_feat = roi_align_fpn_mm(
                 feats, rois.astype(jnp.float32), out_size=cfg.roi_size,
                 sampling_ratio=cfg.sampling_ratio, strides=cfg.strides,
                 finest_scale=cfg.finest_scale)

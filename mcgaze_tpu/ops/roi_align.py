@@ -141,3 +141,83 @@ def roi_align_fpn(feats: tuple,
     samples = samples.reshape(n, r, out_size, s, out_size, s, c)
     out = jnp.mean(samples, axis=(3, 5))
     return out.astype(dtype)
+
+
+def _axis_weights(coord, size, s):
+    """One-hot bilinear weight rows for one axis.
+
+    coord: (N, R, out*s) sample positions at a level; size: scalar dim.
+    Returns (N, R, out, size): per-bin interpolation rows with the
+    sampling_ratio average folded in (bin value = mean of s sub-samples,
+    and bilinear is separable, so the mean folds into the weight matrix).
+    """
+    valid = (coord >= -1.0) & (coord <= size)
+    vc = jnp.clip(coord, 0.0, None)
+    lo = jnp.floor(vc).astype(jnp.int32)
+    max_lo = size - 1
+    degenerate = lo >= max_lo
+    lo = jnp.minimum(lo, max_lo)
+    hi = jnp.minimum(lo + 1, max_lo)
+    frac = jnp.where(degenerate, 0.0, vc - lo)
+
+    iota = jax.lax.broadcasted_iota(jnp.int32, (size,), 0)
+    w = ((iota == lo[..., None]) * (1.0 - frac[..., None]) +
+         (iota == hi[..., None]) * frac[..., None])
+    w = w * valid[..., None]
+    n, r, k = coord.shape
+    return w.reshape(n, r, k // s, s, size).mean(3)
+
+
+@partial(jax.jit, static_argnames=('out_size', 'sampling_ratio',
+                                   'strides', 'finest_scale'))
+def roi_align_fpn_mm(feats: tuple,
+                     rois: jnp.ndarray,
+                     out_size: int = 7,
+                     sampling_ratio: int = 2,
+                     strides: tuple = (4, 8, 16, 32),
+                     finest_scale: float = 56.0) -> jnp.ndarray:
+    """RoIAlign as separable one-hot MATMULS (the TPU-native formulation).
+
+    Bilinear sampling is separable, so each RoI's 7x7 extraction at its
+    level is  Ay (7, H) @ F (H, W, C) @ Ax^T (W, 7)  with Ay/Ax carrying
+    <=2 non-zeros per row. XLA gathers serialize badly on TPU (~7 ms for
+    336 RoIs); as batched GEMMs the same op rides the MXU in <1 ms.
+    Per-RoI level routing is handled by computing every level (pyramid
+    cost sum is ~1.33x level 0) and one-hot selecting.
+
+    Matches roi_align_fpn (gather formulation) to float tolerance —
+    cross-checked in tests/test_roi_align.py.
+    """
+    num_levels = len(feats)
+    n, r, _ = rois.shape
+    c = feats[0].shape[-1]
+    dtype = feats[0].dtype
+
+    lvl = roi_levels(rois, num_levels, finest_scale)          # (N, R)
+    s = sampling_ratio
+    pos = (jnp.arange(out_size, dtype=jnp.float32)[:, None] +
+           (jnp.arange(s, dtype=jnp.float32)[None, :] + 0.5) / s).reshape(-1)
+
+    rois_f = rois.astype(jnp.float32)
+    per_level = []
+    for li, stride in enumerate(strides):
+        h_l, w_l = feats[li].shape[1:3]
+        x1 = rois_f[..., 0] / stride - 0.5
+        y1 = rois_f[..., 1] / stride - 0.5
+        x2 = rois_f[..., 2] / stride - 0.5
+        y2 = rois_f[..., 3] / stride - 0.5
+        ys = y1[..., None] + pos * ((y2 - y1) / out_size)[..., None]
+        xs = x1[..., None] + pos * ((x2 - x1) / out_size)[..., None]
+        ay = _axis_weights(ys, h_l, s).astype(dtype)   # (N, R, 7, H)
+        ax = _axis_weights(xs, w_l, s).astype(dtype)   # (N, R, 7, W)
+        tmp = jnp.einsum('nrih,nhwc->nriwc', ay, feats[li],
+                         preferred_element_type=jnp.float32)
+        out_l = jnp.einsum('nriwc,nrjw->nrijc', tmp.astype(dtype), ax,
+                           preferred_element_type=jnp.float32)
+        per_level.append(out_l)
+
+    stacked = jnp.stack(per_level)                      # (L, N, R, 7, 7, C)
+    onehot = jax.nn.one_hot(lvl, num_levels, axis=0,
+                            dtype=stacked.dtype)        # (L, N, R)
+    out = jnp.einsum('lnrijc,lnr->nrijc', stacked, onehot)
+    return out.astype(dtype)

@@ -115,3 +115,34 @@ def test_roi_align_grads_flow():
     g = jax.grad(f)(feats[0])
     assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g)).sum() > 0
+
+
+@pytest.mark.parametrize('seed', [0, 1])
+def test_mm_formulation_matches_gather(seed):
+    from mcgaze_tpu.ops.roi_align import roi_align_fpn_mm
+    rng = np.random.RandomState(seed)
+    feats = make_pyramid(rng, n=3, c=16, base=32)
+    rois = np.zeros((3, 4, 4), np.float32)
+    sizes = np.array([25, 90, 300, 600], np.float32)
+    for n in range(3):
+        for r, s in enumerate(sizes):
+            x1 = rng.uniform(-10, 100)
+            y1 = rng.uniform(-10, 100)
+            rois[n, r] = [x1, y1, x1 + s * rng.uniform(0.5, 1.5), y1 + s]
+    a = np.asarray(roi_align_fpn(feats, rois))
+    b = np.asarray(roi_align_fpn_mm(feats, rois))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+
+def test_mm_grads_flow():
+    import jax
+    from mcgaze_tpu.ops.roi_align import roi_align_fpn_mm
+    rng = np.random.RandomState(0)
+    feats = make_pyramid(rng, n=1, c=4, base=32)
+    rois = np.array([[[10., 10., 60., 60.]]], np.float32)
+
+    def f(f0):
+        return roi_align_fpn_mm((f0,) + feats[1:], rois).sum()
+
+    g = jax.grad(f)(feats[0])
+    assert np.abs(np.asarray(g)).sum() > 0
