@@ -46,10 +46,21 @@ def _yaw_pitch_to_vec(g):
 
 
 class Gaze360ClipDataset:
-    def __init__(self, cfg: DataConfig, seed: int = 0):
+    def __init__(self, cfg: DataConfig, seed: int = 0,
+                 use_native: Optional[bool] = None):
+        """use_native: True forces the C++ loader (raises if unbuildable),
+        False forces pure Python, None auto-detects."""
         self.cfg = cfg
         self.api = CocoVid(cfg.ann_file)
         self.rng = np.random.RandomState(seed)
+        self._native = None
+        if use_native is not False:
+            try:
+                from .native_loader import NativeClipLoader
+                self._native = NativeClipLoader()
+            except (RuntimeError, OSError):
+                if use_native:
+                    raise
         # (vid_id, frame) pairs for frames with >=1 GT box
         self.index = []
         self.video_frames = {}  # vid_id -> sorted annotated frame list
@@ -131,10 +142,88 @@ class Gaze360ClipDataset:
             out['gt_gazes'][i] = r['gazes']
         return out
 
+    def _clip_geometry(self, idx: int, params: T.ClipParams):
+        """GT/shape arithmetic for one clip WITHOUT decoding any image
+        (video height/width come from the annotation JSON). Returns None
+        if the sampled crop kills the GT (caller resamples before any
+        decode happens — cheaper than the reference's decode-then-retry,
+        gaze360.py:343-358)."""
+        vid_id, frame = self.index[idx]
+        clip = self._clip_frames(vid_id, frame)
+        vid = self.api.load_vid(vid_id)
+        orig_hw = (vid['height'], vid['width'])
+        t = self.cfg.clip_length
+        out = dict(
+            img_whwh=np.zeros((t, 4), np.float32),
+            gt_boxes=np.zeros((t, 3, 4), np.float32),
+            gt_valid=np.zeros((t, 3), np.float32),
+            gt_gazes=np.zeros((t, 3, 3), np.float32),
+        )
+        paths = []
+        for i, f in enumerate(clip):
+            boxes, valid, gazes = self._frame_gt(vid_id, f)
+            r = T.process_frame_geometry(orig_hw, params, self.cfg.scale,
+                                         boxes=boxes, valid=valid,
+                                         gazes=gazes)
+            if not r['ok']:
+                return None
+            out['img_whwh'][i] = r['whwh']
+            out['gt_boxes'][i] = r['boxes']
+            out['gt_valid'][i] = r['valid']
+            out['gt_gazes'][i] = r['gazes']
+            paths.append(osp.join(self.cfg.img_prefix,
+                                  vid['file_names'][f]))
+        out['paths'] = paths
+        out['params'] = params
+        return out
+
     def batches(self, batch_size: int | None = None,
                 seed: int = 0) -> Iterator[dict]:
-        """Infinite shuffled stream of stacked (B, T, ...) batches."""
+        """Infinite shuffled stream of stacked (B, T, ...) batches.
+
+        With the native loader: per batch, clip geometry + crop-rejection
+        resampling run first (no IO), then ONE C++ thread-pool call
+        decodes+augments all B*T frames straight into the batch buffer."""
         bs = batch_size or self.cfg.batch_size
+        if self._native is None:
+            yield from self._batches_python(bs, seed)
+            return
+        t = self.cfg.clip_length
+        order_rng = np.random.RandomState(seed)
+        clips = []
+        while True:
+            perm = order_rng.permutation(len(self.index))
+            for idx in perm:
+                params = T.sample_clip_params(self.rng, self.cfg.crop_size,
+                                              self.cfg.flip_ratio)
+                clip = self._clip_geometry(int(idx), params)
+                while clip is None:
+                    params = T.sample_clip_params(
+                        self.rng, self.cfg.crop_size, self.cfg.flip_ratio)
+                    clip = self._clip_geometry(
+                        int(order_rng.randint(len(self.index))), params)
+                clips.append(clip)
+                if len(clips) < bs:
+                    continue
+                imgs = np.empty((bs, t, *self.cfg.canvas, 3), np.float32)
+                paths = [p for c in clips for p in c['paths']]
+                crops = [c['params'].crop_ratio for c in clips
+                         for _ in range(t)]
+                flips = [c['params'].flip for c in clips for _ in range(t)]
+                self._native.load(
+                    paths, crops, flips,
+                    self.cfg.scale, self.cfg.canvas,
+                    out=imgs.reshape(bs * t, *self.cfg.canvas, 3))
+                yield dict(
+                    imgs=imgs,
+                    img_whwh=np.stack([c['img_whwh'] for c in clips]),
+                    gt_boxes=np.stack([c['gt_boxes'] for c in clips]),
+                    gt_valid=np.stack([c['gt_valid'] for c in clips]),
+                    gt_gazes=np.stack([c['gt_gazes'] for c in clips]),
+                )
+                clips = []
+
+    def _batches_python(self, bs: int, seed: int) -> Iterator[dict]:
         order_rng = np.random.RandomState(seed)
         clips = []
         while True:

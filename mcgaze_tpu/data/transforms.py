@@ -141,6 +141,69 @@ def pad_to_canvas(img: np.ndarray, canvas: Tuple[int, int]) -> np.ndarray:
     return out
 
 
+def process_frame_geometry(orig_hw: Tuple[int, int],
+                           params: ClipParams,
+                           scale: Tuple[int, int],
+                           boxes: np.ndarray | None = None,
+                           valid: np.ndarray | None = None,
+                           gazes: np.ndarray | None = None):
+    """Box/gaze/shape arithmetic of process_frame WITHOUT touching pixels.
+
+    Lets the native C++ loader (native/clip_loader.cpp) own the image work
+    while Python owns GT geometry — and lets the crop-rejection resample
+    happen BEFORE any decode (the reference decodes first and throws the
+    work away, gaze360.py:343-358).
+
+    Returns dict(img_shape, whwh, scale_factor, boxes, valid, gazes, ok).
+    """
+    h, w = orig_hw
+    ok = True
+    if params.crop_ratio is not None:
+        ratio = params.crop_ratio
+        ch = int(h * ratio + 0.5)
+        cw = int(w * ratio + 0.5)
+        off_h = int(max(h - ch, 0) / 2 + 0.5)
+        off_w = int(max(w - cw, 0) / 2 + 0.5)
+        if boxes is not None:
+            boxes = boxes - np.array([off_w, off_h, off_w, off_h],
+                                     np.float32)
+            boxes[:, 0::2] = np.clip(boxes[:, 0::2], 0, cw)
+            boxes[:, 1::2] = np.clip(boxes[:, 1::2], 0, ch)
+            alive = (boxes[:, 2] > boxes[:, 0]) & (boxes[:, 3] > boxes[:, 1])
+            valid = valid.copy()
+            n_gt = int(valid.sum())
+            if n_gt == 3:
+                if not alive[list(np.where(valid > 0)[0])].all():
+                    boxes[0] = boxes[2]
+                    boxes[1] = boxes[2]
+                    alive[:] = True
+            elif n_gt == 1 and not alive[2]:
+                ok = False
+            ok = ok and (bool((alive & (valid > 0)).any()) or n_gt == 0)
+            valid = valid * alive.astype(np.float32)
+            boxes = boxes * valid[:, None]
+        h, w = ch, cw
+    new_w, new_h = rescale_size(h, w, scale)
+    sf = np.array([new_w / w, new_h / h, new_w / w, new_h / h], np.float32)
+    if boxes is not None:
+        boxes = boxes * sf
+        boxes[:, 0::2] = np.clip(boxes[:, 0::2], 0, new_w)
+        boxes[:, 1::2] = np.clip(boxes[:, 1::2], 0, new_h)
+    if params.flip:
+        if boxes is not None:
+            flipped = boxes.copy()
+            flipped[:, 0] = new_w - boxes[:, 2]
+            flipped[:, 2] = new_w - boxes[:, 0]
+            boxes = flipped
+        if gazes is not None:
+            gazes = gazes.copy()
+            gazes[:, 0] = -gazes[:, 0]
+    return dict(img_shape=(new_h, new_w),
+                whwh=np.array([new_w, new_h, new_w, new_h], np.float32),
+                scale_factor=sf, boxes=boxes, valid=valid, gazes=gazes,
+                ok=ok)
+
+
 def process_frame(img: np.ndarray,
                   params: ClipParams,
                   scale: Tuple[int, int],

@@ -37,6 +37,9 @@ class OptimConfig:
     lr_steps: Sequence[int] = (6000,)
     lr_gamma: float = 0.1
     max_iters: int = 7000
+    # EMA of params folded into the compiled step (reference mmcv EMAHook,
+    # mmdet/core/hook/ema.py); 0.0 disables. Typical momentum 0.0002.
+    ema_momentum: float = 0.0
 
 
 def step_warmup_schedule(oc: OptimConfig) -> Callable:
@@ -93,6 +96,7 @@ class TrainState:
     stats: Any
     opt_state: Any
     step: jnp.ndarray
+    ema_params: Any = None
 
 
 def create_train_state(cfg: ModelConfig, oc: OptimConfig, rng,
@@ -103,7 +107,10 @@ def create_train_state(cfg: ModelConfig, oc: OptimConfig, rng,
     return TrainState(params=variables['params'],
                       stats=variables.get('stats', {}),
                       opt_state=tx.init(variables['params']),
-                      step=jnp.zeros((), jnp.int32))
+                      step=jnp.zeros((), jnp.int32),
+                      ema_params=(jax.tree.map(jnp.asarray,
+                                               variables['params'])
+                                  if oc.ema_momentum else None))
 
 
 def make_train_step(cfg: ModelConfig, oc: OptimConfig):
@@ -133,8 +140,12 @@ def make_train_step(cfg: ModelConfig, oc: OptimConfig):
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         logs['grad_norm'] = optax.global_norm(grads)
+        ema = state.ema_params
+        if ema is not None:
+            from .hooks import ema_update
+            ema = ema_update(ema, params, oc.ema_momentum)
         return dataclasses.replace(
             state, params=params, opt_state=opt_state,
-            step=state.step + 1), logs
+            step=state.step + 1, ema_params=ema), logs
 
     return train_step

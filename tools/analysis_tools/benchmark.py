@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Inference speed benchmark over the real eval path.
+
+Rebuild of the reference `tools/analysis_tools/benchmark.py` (fps over a
+dataloader, 2000 iters, skip first 5): measures end-to-end frames/sec and
+clips/sec of the batched clip forward, optionally reading real rawframes
+through the full preprocessing pipeline; falls back to synthetic frames.
+
+Usage:
+  python tools/analysis_tools/benchmark.py <config> [checkpoint]
+      [--json ... --root ...] [--iters 50] [--batch 32] [--synthetic]
+"""
+import argparse
+import os.path as osp
+import sys
+import time
+
+sys.path.insert(0, osp.join(osp.dirname(osp.abspath(__file__)), '..', '..'))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('config')
+    ap.add_argument('checkpoint', nargs='?', default=None)
+    ap.add_argument('--json', default='data/gaze360/test.json')
+    ap.add_argument('--root', default='data/gaze360/test_rawframes/')
+    ap.add_argument('--iters', type=int, default=50)
+    ap.add_argument('--warmup', type=int, default=5)
+    ap.add_argument('--batch', type=int, default=32,
+                    help='clips per forward')
+    ap.add_argument('--synthetic', action='store_true',
+                    help='random frames instead of the dataset')
+    ap.add_argument('--dtype', default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    from mcgaze_tpu.utils.config import load_config
+    from tools.test_gaze360_gaze import build_forward
+
+    cfg = load_config(args.config)
+    forward = build_forward(cfg, args.checkpoint, args.dtype)
+    t = cfg.model.clip_length
+    h, w = cfg.eval_cfg.canvas
+    n = args.batch * t
+
+    if args.synthetic or not osp.exists(args.json):
+        if not args.synthetic:
+            print(f'[benchmark] {args.json} not found -> synthetic frames')
+        rng = np.random.RandomState(0)
+        imgs = rng.randn(n, h, w, 3).astype(np.float32)
+    else:
+        import json as _json
+
+        import cv2
+
+        from mcgaze_tpu.evaluation.driver import preprocess_frames
+        anno = _json.load(open(args.json))
+        frames = []
+        for video in anno['videos']:
+            for name in video['file_names']:
+                img = cv2.imread(osp.join(args.root, name))
+                frames.append(cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
+                if len(frames) == n:
+                    break
+            if len(frames) == n:
+                break
+        frames = (frames * ((n + len(frames) - 1) // len(frames)))[:n]
+        imgs, _, _ = preprocess_frames(frames, cfg.eval_cfg)
+    whwh = np.tile(np.asarray([[w, h, w, h]], np.float32), (n, 1))
+
+    for _ in range(args.warmup):
+        out = forward(imgs, whwh, t)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        out = forward(imgs, whwh, t)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    fps = args.iters * n / dt
+    print(f'Overall fps: {fps:.1f} frames/s '
+          f'({fps / t:.1f} clips/s, batch {args.batch} clips, '
+          f'{dt / args.iters * 1e3:.1f} ms/forward, '
+          f'device {jax.devices()[0].platform})')
+
+
+if __name__ == '__main__':
+    main()

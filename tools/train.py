@@ -60,7 +60,10 @@ def main():
     import jax
     from mcgaze_tpu.data.dataset import Gaze360ClipDataset
     from mcgaze_tpu.parallel.mesh import batch_sharding, make_mesh
-    from mcgaze_tpu.train.loop import create_train_state, make_train_step
+    from mcgaze_tpu.train.hooks import CheckInvalidLoss, TextLogger
+    from mcgaze_tpu.train.loop import (create_train_state, make_train_step,
+                                       step_warmup_schedule)
+    from mcgaze_tpu.utils.profiling import IterTimer
     from mcgaze_tpu.utils.checkpoint import (find_latest_checkpoint,
                                              restore_checkpoint,
                                              save_checkpoint)
@@ -91,25 +94,23 @@ def main():
     mesh = make_mesh(n_model=1)
     bs = batch_sharding(mesh)
     step_fn = make_train_step(cfg.model, cfg.optim)
+    sched = step_warmup_schedule(cfg.optim)
 
-    log_path = osp.join(work_dir, 'train_log.jsonl')
-    t0 = time.time()
-    start_step = int(state.step)
-    for it in range(start_step, max_iters):
+    logger = TextLogger(work_dir, max_iters, log_interval)
+    nan_guard = CheckInvalidLoss(interval=log_interval)
+    timer = IterTimer()
+    for it in range(int(state.step), max_iters):
+        timer.before_iter()
         batch = {k: jax.device_put(v, bs) for k, v in next(batches).items()}
         state, logs = step_fn(state, batch)
-        if (it + 1) % log_interval == 0 or it + 1 == max_iters:
-            loss = float(logs['loss'])
-            dt = (time.time() - t0) / (it + 1 - start_step)
-            line = dict(step=it + 1, loss=round(loss, 4),
-                        grad_norm=round(float(logs['grad_norm']), 4),
-                        sec_per_iter=round(dt, 3))
-            print(json.dumps(line))
-            with open(log_path, 'a') as f:
-                f.write(json.dumps(line) + '\n')
+        timer.after_iter(sync=logs['loss'])
+        nan_guard.after_iter(it + 1, logs)
+        logger.after_iter(it + 1, logs, float(sched(it)), timer)
         if (it + 1) % cfg.checkpoint_interval == 0 or it + 1 == max_iters:
-            path = save_checkpoint(work_dir, it + 1, dict(
-                params=state.params, stats=state.stats))
+            tree = dict(params=state.params, stats=state.stats)
+            if state.ema_params is not None:
+                tree['ema_params'] = state.ema_params
+            path = save_checkpoint(work_dir, it + 1, tree)
             print(f'saved {path}')
 
 
