@@ -27,6 +27,10 @@ import sys
 
 sys.path.insert(0, osp.join(osp.dirname(osp.abspath(__file__)), '..'))
 
+from mcgaze_tpu.utils.env import setup_jax_platform  # noqa: E402
+
+setup_jax_platform()
+
 import numpy as np
 
 ARROW_COLOR = (230, 253, 11)     # BGR, notebook cell 5

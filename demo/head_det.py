@@ -22,6 +22,10 @@ import sys
 
 sys.path.insert(0, osp.join(osp.dirname(osp.abspath(__file__)), '..'))
 
+from mcgaze_tpu.utils.env import setup_jax_platform  # noqa: E402
+
+setup_jax_platform()
+
 import numpy as np
 
 EPILOG = """To extract a state_dict from an original crowdhuman_yolov5m.pt

@@ -136,3 +136,17 @@ def gaze_error(eval_data: list,
         front20=tot['e20'] / max(tot['f20'], 1),
         frames=int(tot['f360']),
     )
+
+
+def evaluate_results(eval_data: list, anno_data: dict,
+                     l2cs: bool = False) -> dict:
+    """Headline metric dict for tools/test.py --eval mae: the published
+    'MAE-Front180' is the front90 bucket on the fusion gaze."""
+    m = gaze_error(eval_data, anno_data, 'fusion_gazes', smooth=True,
+                   l2cs=l2cs)
+    return {
+        'MAE-360': m['mae360'],
+        'MAE-Front180': m['front90'],
+        'MAE-Front20': m['front20'],
+        'frames': float(m['frames']),
+    }

@@ -1,0 +1,133 @@
+"""Multi-host utilities over ICI/DCN.
+
+TPU-native replacements for the reference's torch.distributed machinery
+(§2.3 of SURVEY.md):
+
+  * init_distributed        <- init_dist / torch.distributed.launch
+                               (tools/train.py, tools/dist_train.sh)
+  * sync_random_seed        <- NCCL seed broadcast (apis/train.py:36-49,
+                               mmdet/core/utils/dist_utils.py:157)
+  * shard_across_processes  <- rank-sharded eval sampler
+                               (apis/test.py:81-135 multi_gpu_test)
+  * gather_objects          <- collect_results_cpu tmpdir-pickle gather
+                               (apis/test.py:136-178); here a fixed-size
+                               pickled-bytes allgather over the ICI
+  * assert_same_structure   <- the DDP loss-key consistency check
+                               (detectors/base.py:202-209)
+
+Every function degrades to a no-op in a single-process run, so the same
+driver scripts work on one chip and on a multi-host slice.
+"""
+from __future__ import annotations
+
+import hashlib
+import pickle
+from typing import Any, List, Sequence
+
+import numpy as np
+
+
+def process_count() -> int:
+    import jax
+    return jax.process_count()
+
+
+def process_index() -> int:
+    import jax
+    return jax.process_index()
+
+
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> None:
+    """jax.distributed.initialize with env-var fallback; safe to call in
+    single-process runs (no-op when no coordinator is configured)."""
+    import os
+
+    import jax
+    if process_count() > 1:
+        return                                    # already initialised
+    if coordinator_address is None and 'JAX_COORDINATOR_ADDRESS' not in \
+            os.environ and 'COORDINATOR_ADDRESS' not in os.environ:
+        return                                    # single-process run
+    jax.distributed.initialize(coordinator_address, num_processes,
+                               process_id)
+
+
+def sync_random_seed(seed: int | None = None) -> int:
+    """All processes return process 0's seed (reference sync_random_seed:
+    rank-0 random seed broadcast over NCCL)."""
+    import jax
+    if seed is None:
+        seed = int(np.random.randint(2 ** 31))
+    if process_count() == 1:
+        return seed
+    from jax.experimental import multihost_utils
+    return int(multihost_utils.broadcast_one_to_all(
+        np.asarray(seed, np.int32)))
+
+
+def shard_across_processes(items: Sequence[Any]) -> List[Any]:
+    """This process's strided slice of a global work list (reference
+    multi_gpu_test's rank-strided DistributedSampler)."""
+    return list(items[process_index()::process_count()])
+
+
+def gather_objects(local: List[Any], max_bytes: int = 1 << 24) -> List[Any]:
+    """Allgather arbitrary picklable per-process lists; returns the global
+    list ordered by process, interleave-restored to match
+    shard_across_processes (rank-strided) order.
+
+    Implementation: pickle -> fixed-size uint8 buffer -> process_allgather
+    (the reference gathers via tmpdir files or NCCL byte tensors,
+    apis/test.py:136-209)."""
+    if process_count() == 1:
+        return list(local)
+    from jax.experimental import multihost_utils
+    payload = pickle.dumps(local)
+    if len(payload) + 8 > max_bytes:
+        raise ValueError(f'gather_objects payload {len(payload)}B exceeds '
+                         f'max_bytes={max_bytes}; raise the cap')
+    buf = np.zeros((max_bytes,), np.uint8)
+    buf[:8] = np.frombuffer(
+        np.uint64(len(payload)).tobytes(), np.uint8)
+    buf[8:8 + len(payload)] = np.frombuffer(payload, np.uint8)
+    gathered = multihost_utils.process_allgather(buf)   # (P, max_bytes)
+    per_proc = []
+    for p in range(gathered.shape[0]):
+        size = int(np.frombuffer(gathered[p, :8].tobytes(), np.uint64)[0])
+        per_proc.append(pickle.loads(gathered[p, 8:8 + size].tobytes()))
+    # restore global order for rank-strided sharding
+    out = []
+    n_total = sum(len(x) for x in per_proc)
+    iters = [iter(x) for x in per_proc]
+    for i in range(n_total):
+        out.append(next(iters[i % len(iters)]))
+    return out
+
+
+def tree_structure_fingerprint(tree: Any) -> str:
+    """Stable hash of a pytree's structure + leaf shapes/dtypes."""
+    import jax
+    parts = []
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        shape = getattr(leaf, 'shape', ())
+        dtype = getattr(leaf, 'dtype', type(leaf).__name__)
+        parts.append(f'{jax.tree_util.keystr(path)}:{shape}:{dtype}')
+    return hashlib.sha256('|'.join(parts).encode()).hexdigest()
+
+
+def assert_same_structure(tree: Any, name: str = 'tree') -> None:
+    """Every process must hold an identically-structured pytree — the
+    compile-time analogue of the reference's per-iteration DDP loss-key
+    allreduce assertion (base.py:202-209)."""
+    if process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+    fp = tree_structure_fingerprint(tree)
+    digest = np.frombuffer(bytes.fromhex(fp[:16]), np.uint8).copy()
+    all_fp = multihost_utils.process_allgather(digest)
+    if not (all_fp == all_fp[0]).all():
+        raise AssertionError(
+            f'{name} structure differs across processes '
+            f'(process {process_index()} fingerprint {fp[:16]})')

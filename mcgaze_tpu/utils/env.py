@@ -1,0 +1,35 @@
+"""Process environment setup (reference mmdet/utils/setup_env.py analogue:
+it capped cv2/OMP/MKL threads and set the fork start-method; here the
+TPU-relevant bits).
+
+`setup_jax_platform` works around the experimental 'axon' TPU plugin in
+this image IGNORING the `JAX_PLATFORMS` env var: only
+`jax.config.update('jax_platforms', ...)` is authoritative. Every CLI tool
+calls this before touching jax so `JAX_PLATFORMS=cpu python tools/...`
+behaves as documented (and tests can force the virtual CPU mesh)."""
+from __future__ import annotations
+
+import os
+
+
+def setup_jax_platform() -> None:
+    """Apply JAX_PLATFORMS from the environment authoritatively. Must run
+    before any jax device/backend access."""
+    platforms = os.environ.get('JAX_PLATFORMS')
+    if platforms:
+        import jax
+        jax.config.update('jax_platforms', platforms)
+
+
+def setup_threads(num_threads: int | None = None) -> None:
+    """Cap BLAS/cv2 thread pools for multi-process hosts (reference
+    setup_env.py:10-55). No-op if libraries are absent."""
+    if num_threads is None:
+        return
+    os.environ.setdefault('OMP_NUM_THREADS', str(num_threads))
+    os.environ.setdefault('MKL_NUM_THREADS', str(num_threads))
+    try:
+        import cv2
+        cv2.setNumThreads(num_threads)
+    except ImportError:
+        pass

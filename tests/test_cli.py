@@ -85,3 +85,14 @@ def test_train_eval_mae_cli(workspace):
              '--anno', ws['ann']])
     assert r.returncode == 0, r.stderr[-3000:]
     assert 'mean angular front 90' in r.stdout
+
+    # 5) generic tools/test.py entry with inline MAE (one-step flow)
+    out_json = osp.join(ws['root'], 'test_entry_results.json')
+    r = run(['tools/test.py', ws['cfg'], ckpt,
+             '--json', ws['ann'], '--root', ws['prefix'],
+             '--out', out_json, '--eval', 'mae'])
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert 'MAE-Front180' in r.stdout
+    inline = json.load(open(out_json))
+    # same checkpoint + same driver -> identical fusion gazes as step 3
+    assert inline[0]['fusion_gazes'] == results[0]['fusion_gazes']

@@ -17,6 +17,10 @@ import time
 
 sys.path.insert(0, osp.join(osp.dirname(osp.abspath(__file__)), '..', '..'))
 
+from mcgaze_tpu.utils.env import setup_jax_platform  # noqa: E402
+
+setup_jax_platform()
+
 import numpy as np
 
 

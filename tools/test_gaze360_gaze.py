@@ -14,6 +14,10 @@ import time
 
 sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
+from mcgaze_tpu.utils.env import setup_jax_platform  # noqa: E402
+
+setup_jax_platform()
+
 import cv2
 import numpy as np
 
@@ -86,10 +90,19 @@ def main():
     forward = build_forward(cfg, args.checkpoint, args.dtype)
     evaluator = VideoGazeEvaluator(forward, eval_cfg)
 
+    from mcgaze_tpu.parallel.distributed import (gather_objects,
+                                                 init_distributed,
+                                                 process_index,
+                                                 shard_across_processes)
+    init_distributed()
+
     anno = json.load(open(args.json))
     videos = anno['videos']
     if args.max_videos:
         videos = videos[:args.max_videos]
+    # multi-host: rank-sharded video list, results gathered at the end
+    # (reference multi_gpu_test + collect_results_cpu, apis/test.py:81-178)
+    videos = shard_across_processes(videos)
 
     results = []
     t0 = time.time()
@@ -107,6 +120,9 @@ def main():
             print(f'{i + 1}/{len(videos)} videos, '
                   f'{total_frames / (time.time() - t0):.1f} frames/s')
 
+    results = gather_objects(results)
+    if process_index() != 0:
+        return
     os.makedirs(args.out_dir, exist_ok=True)
     cfg_name = osp.basename(args.config)
     cfg_name = cfg_name[:-3] if cfg_name.endswith('.py') else cfg_name

@@ -14,6 +14,10 @@ import time
 
 sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
+from mcgaze_tpu.utils.env import setup_jax_platform  # noqa: E402
+
+setup_jax_platform()
+
 import numpy as np
 
 
@@ -68,6 +72,11 @@ def main():
                                              restore_checkpoint,
                                              save_checkpoint)
     from mcgaze_tpu.utils.config import load_config
+
+    from mcgaze_tpu.parallel.distributed import (init_distributed,
+                                                 sync_random_seed)
+    init_distributed()
+    args.seed = sync_random_seed(args.seed)
 
     cfg = load_config(args.config)
     work_dir = args.work_dir or cfg.work_dir
