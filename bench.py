@@ -34,29 +34,38 @@ def main():
     n = args.batch * t
 
     @jax.jit
-    def forward(variables, imgs, whwh):
-        out = model.apply(variables, imgs, whwh, clip_length=t)
+    def forward(variables, imgs, whwh, eps):
+        # eps threads a scalar dependency through consecutive iterations so
+        # the timed loop is a strict serial chain of device executions with
+        # ONE host readback at the end. On this dev image the TPU sits
+        # behind a ~27 ms RTT tunnel and block_until_ready returns before
+        # execution finishes, so per-step readbacks measure the tunnel, not
+        # the chip; chaining measures true sustained device throughput (the
+        # number that matters for pipelined serving).
+        out = model.apply(variables, imgs + eps, whwh, clip_length=t)
         last = out['stages'][-1]
-        return (last['boxes'], jax.nn.sigmoid(last['cls_logits']),
-                last['gaze']['fusion'])
+        boxes = last['boxes']
+        scores = jax.nn.sigmoid(last['cls_logits'])
+        gaze = last['gaze']['fusion']
+        dep = (jnp.sum(boxes) + jnp.sum(scores) + jnp.sum(gaze)) * 1e-12
+        return boxes, scores, gaze, dep.astype(jnp.float32)
 
     rng = np.random.RandomState(0)
     imgs = jnp.asarray(
         rng.randn(n, args.image, args.image, 3).astype(np.float32))
     whwh = jnp.tile(jnp.asarray([[args.image] * 4], jnp.float32), (n, 1))
 
-    def run_one():
-        # Host readback per step: on the tunnelled 'axon' TPU platform
-        # block_until_ready returns before execution finishes, so a small
-        # device->host transfer is the only reliable completion barrier.
-        out = forward(variables, imgs, whwh)
-        np.asarray(out[0])
-
+    eps = jnp.float32(0.0)
     for _ in range(args.warmup):
-        run_one()
+        out = forward(variables, imgs, whwh, eps)
+        eps = out[-1]
+    float(eps)                                   # sync warmup
     start = time.perf_counter()
+    eps = jnp.float32(0.0)
     for _ in range(args.iters):
-        run_one()
+        out = forward(variables, imgs, whwh, eps)
+        eps = out[-1]
+    float(eps)                                   # single completion barrier
     dt = (time.perf_counter() - start) / args.iters
     clips_per_sec = args.batch / dt
 

@@ -29,8 +29,6 @@ sys.path.insert(0, osp.join(osp.dirname(osp.abspath(__file__)), '..'))
 
 from mcgaze_tpu.utils.env import setup_jax_platform  # noqa: E402
 
-setup_jax_platform()
-
 import numpy as np
 
 ARROW_COLOR = (230, 253, 11)     # BGR, notebook cell 5
@@ -91,6 +89,7 @@ def draw_gaze(img, box, gaze, scale=1.0):
 
 
 def main():
+    setup_jax_platform()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument('--work', default='demo_work',
                     help='dir with frames/ and labels/ from head_det.py')

@@ -24,8 +24,6 @@ sys.path.insert(0, osp.join(osp.dirname(osp.abspath(__file__)), '..'))
 
 from mcgaze_tpu.utils.env import setup_jax_platform  # noqa: E402
 
-setup_jax_platform()
-
 import numpy as np
 
 EPILOG = """To extract a state_dict from an original crowdhuman_yolov5m.pt
@@ -64,6 +62,7 @@ def load_yolo_variables(path, cfg):
 
 
 def main():
+    setup_jax_platform()
     ap = argparse.ArgumentParser(
         description=__doc__, epilog=EPILOG,
         formatter_class=argparse.RawDescriptionHelpFormatter)

@@ -11,11 +11,23 @@ import jax
 import orbax.checkpoint as ocp
 
 
-def save_checkpoint(work_dir: str, step: int, tree: Any) -> str:
+def save_checkpoint(work_dir: str, step: int, tree: Any,
+                    max_to_keep: int | None = None) -> str:
+    """Write ckpt_<step>; with max_to_keep, prune older checkpoints
+    (reference CheckpointHook max_keep_ckpts)."""
     path = osp.abspath(osp.join(work_dir, f'ckpt_{step}'))
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, tree, force=True)
     ckptr.wait_until_finished()
+    if max_to_keep:
+        import shutil
+        steps = sorted(
+            int(m.group(1)) for m in
+            (re.fullmatch(r'ckpt_(\d+)', n) for n in os.listdir(work_dir))
+            if m)
+        for s in steps[:-max_to_keep]:
+            shutil.rmtree(osp.join(work_dir, f'ckpt_{s}'),
+                          ignore_errors=True)
     return path
 
 

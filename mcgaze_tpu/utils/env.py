@@ -14,11 +14,18 @@ import os
 
 def setup_jax_platform() -> None:
     """Apply JAX_PLATFORMS from the environment authoritatively. Must run
-    before any jax device/backend access."""
+    before any jax device/backend access, so call it at the top of a CLI
+    main() — NEVER at library import time (importing a tool module must not
+    re-platform the host process, e.g. pytest's virtual CPU mesh)."""
     platforms = os.environ.get('JAX_PLATFORMS')
     if platforms:
         import jax
-        jax.config.update('jax_platforms', platforms)
+        if jax.config.jax_platforms == platforms:
+            return
+        try:
+            jax.config.update('jax_platforms', platforms)
+        except RuntimeError:
+            pass     # backend already initialised; keep the active platform
 
 
 def setup_threads(num_threads: int | None = None) -> None:

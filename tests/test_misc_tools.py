@@ -1,0 +1,46 @@
+"""Small tooling: package API surface, checkpoint pruning, log analyzer."""
+import json
+import subprocess
+import sys
+
+import numpy as np
+
+
+def test_package_public_api():
+    import mcgaze_tpu as m
+    assert m.__version__
+    assert m.ModelConfig().clip_length == 7
+    assert callable(m.load_config) and callable(m.gaze_error)
+
+
+def test_checkpoint_max_to_keep(tmp_path):
+    from mcgaze_tpu.utils.checkpoint import (find_latest_checkpoint,
+                                             restore_checkpoint,
+                                             save_checkpoint)
+    tree = {'w': np.arange(4, dtype=np.float32)}
+    for step in (1, 2, 3):
+        save_checkpoint(str(tmp_path), step, tree, max_to_keep=2)
+    names = sorted(p.name for p in tmp_path.iterdir())
+    assert names == ['ckpt_2', 'ckpt_3']
+    latest = find_latest_checkpoint(str(tmp_path))
+    assert latest.endswith('ckpt_3')
+    out = restore_checkpoint(latest, {'w': np.zeros(4, np.float32)})
+    np.testing.assert_array_equal(out['w'], tree['w'])
+
+
+def test_analyze_logs_cli(tmp_path):
+    log = tmp_path / 'train_log.jsonl'
+    rows = [dict(step=i, loss=1.0 / i, grad_norm=0.1, time=0.5,
+                 data_time=0.05, sec_per_iter=0.55, lr=1e-3)
+            for i in range(1, 6)]
+    log.write_text('\n'.join(json.dumps(r) for r in rows))
+    r = subprocess.run(
+        [sys.executable, 'tools/analysis_tools/analyze_logs.py',
+         'cal_train_time', str(log)], capture_output=True, text=True,
+        cwd='/root/repo')
+    assert r.returncode == 0 and 'avg iter time' in r.stdout
+    r = subprocess.run(
+        [sys.executable, 'tools/analysis_tools/analyze_logs.py',
+         'plot_curve', str(log), '--keys', 'loss'],
+        capture_output=True, text=True, cwd='/root/repo')
+    assert r.returncode == 0 and 'last=0.2' in r.stdout

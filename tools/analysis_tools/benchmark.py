@@ -19,12 +19,11 @@ sys.path.insert(0, osp.join(osp.dirname(osp.abspath(__file__)), '..', '..'))
 
 from mcgaze_tpu.utils.env import setup_jax_platform  # noqa: E402
 
-setup_jax_platform()
-
 import numpy as np
 
 
 def main():
+    setup_jax_platform()
     ap = argparse.ArgumentParser()
     ap.add_argument('config')
     ap.add_argument('checkpoint', nargs='?', default=None)

@@ -18,8 +18,6 @@ sys.path.insert(0, osp.join(osp.dirname(osp.abspath(__file__)), '..', '..'))
 
 from mcgaze_tpu.utils.env import setup_jax_platform  # noqa: E402
 
-setup_jax_platform()
-
 
 def human(n, unit=''):
     for div, suf in ((1e12, 'T'), (1e9, 'G'), (1e6, 'M'), (1e3, 'K')):
@@ -29,6 +27,7 @@ def human(n, unit=''):
 
 
 def main():
+    setup_jax_platform()
     ap = argparse.ArgumentParser()
     ap.add_argument('config')
     ap.add_argument('--shape', type=int, nargs=2, default=None,

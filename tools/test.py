@@ -17,8 +17,6 @@ sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 from mcgaze_tpu.utils.env import setup_jax_platform  # noqa: E402
 
-setup_jax_platform()
-
 
 def parse_args():
     p = argparse.ArgumentParser()
@@ -39,6 +37,7 @@ def parse_args():
 
 
 def main():
+    setup_jax_platform()
     args = parse_args()
     import dataclasses
 

@@ -16,8 +16,6 @@ sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 from mcgaze_tpu.utils.env import setup_jax_platform  # noqa: E402
 
-setup_jax_platform()
-
 import cv2
 import numpy as np
 
@@ -80,6 +78,7 @@ def build_forward(cfg, checkpoint, dtype=None):
 
 
 def main():
+    setup_jax_platform()
     args = parse_args()
     from mcgaze_tpu.evaluation.driver import VideoGazeEvaluator
     from mcgaze_tpu.utils.config import load_config

@@ -16,8 +16,6 @@ sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 from mcgaze_tpu.utils.env import setup_jax_platform  # noqa: E402
 
-setup_jax_platform()
-
 import numpy as np
 
 
@@ -60,6 +58,7 @@ def synthetic_batches(cfg, seed=0):
 
 
 def main():
+    setup_jax_platform()
     args = parse_args()
     import jax
     from mcgaze_tpu.data.dataset import Gaze360ClipDataset
