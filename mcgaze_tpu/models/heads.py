@@ -56,6 +56,31 @@ class TorchMHA(nn.Module):
         return x + out  # mmcv MultiheadAttention residual
 
 
+class _DenseParams(nn.Module):
+    """Declares a Dense layer's params WITHOUT computing — lets the fused
+    pallas attention path own the math while keeping the param tree (and
+    the per-path init RNG draws) identical to the unfused nn.Dense."""
+    in_features: int
+    out_features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param('kernel', nn.initializers.lecun_normal(),
+                       (self.in_features, self.out_features))
+        b = self.param('bias', nn.initializers.zeros, (self.out_features,))
+        return k, b
+
+
+class _LayerNormParams(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param('scale', nn.initializers.ones, (self.features,))
+        b = self.param('bias', nn.initializers.zeros, (self.features,))
+        return s, b
+
+
 class MLPTower(nn.Module):
     """n x (Dense-no-bias -> LayerNorm -> ReLU), as used by every cls/reg/
     gaze projection tower in the reference heads."""
@@ -116,6 +141,7 @@ class STQIHead(nn.Module):
     num_queries: int = 3
     num_cls_fcs: int = 1
     num_reg_fcs: int = 3
+    fused_attention: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -127,18 +153,47 @@ class STQIHead(nn.Module):
         n, nq, c = query.shape
         t = clip_length
         b = n // t
-        attn = TorchMHA(self.channels, self.num_heads, dtype=self.dtype,
-                        name='attention')
-        attn_norm = nn.LayerNorm(dtype=self.dtype, name='attention_norm')
 
-        # (a) spatial self-attention: the Q clue queries of each frame
-        # attend to each other (batch = B*T).
-        q = attn_norm(attn(query))
-        # (b) temporal self-attention with the SAME weights and norm: each
-        # clue query attends across the T frames (batch = B*Q).
-        q = q.reshape(b, t, nq, c).transpose(0, 2, 1, 3).reshape(b * nq, t, c)
-        q = attn_norm(attn(q))
-        q = q.reshape(b, nq, t, c).transpose(0, 2, 1, 3).reshape(n, nq, c)
+        if self.fused_attention:
+            # One pallas kernel per stage for (a)+(b)+both LNs
+            # (ops/stqi_attention.py). Param tree identical to the unfused
+            # path: 'attention/{qkv,out}' + 'attention_norm'.
+            from ..ops.stqi_attention import fused_stqi_attention
+
+            class _W(nn.Module):
+                channels: int
+
+                @nn.compact
+                def __call__(self):
+                    return (_DenseParams(self.channels, 3 * self.channels,
+                                         name='qkv')(),
+                            _DenseParams(self.channels, self.channels,
+                                         name='out')())
+
+            (wqkv, bqkv), (wout, bout) = _W(self.channels,
+                                            name='attention')()
+            lns, lnb = _LayerNormParams(self.channels,
+                                        name='attention_norm')()
+            q = fused_stqi_attention(query.astype(jnp.float32), wqkv, bqkv,
+                                     wout, bout, lns, lnb,
+                                     clip_length=t, heads=self.num_heads)
+            q = q.astype(self.dtype)
+        else:
+            attn = TorchMHA(self.channels, self.num_heads, dtype=self.dtype,
+                            name='attention')
+            attn_norm = nn.LayerNorm(dtype=self.dtype,
+                                     name='attention_norm')
+
+            # (a) spatial self-attention: the Q clue queries of each frame
+            # attend to each other (batch = B*T).
+            q = attn_norm(attn(query))
+            # (b) temporal self-attention with the SAME weights and norm:
+            # each clue query attends across the T frames (batch = B*Q).
+            q = q.reshape(b, t, nq, c).transpose(0, 2, 1, 3).reshape(
+                b * nq, t, c)
+            q = attn_norm(attn(q))
+            q = q.reshape(b, nq, t, c).transpose(0, 2, 1, 3).reshape(
+                n, nq, c)
 
         # (c) instance-interactive DynamicConv + residual + LN.
         flat_q = q.reshape(n * nq, c)

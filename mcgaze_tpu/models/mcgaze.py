@@ -48,6 +48,10 @@ class ModelConfig:
     finest_scale: float = 56.0
     gaze_dim: int = 3
     dtype: str = 'float32'
+    # Fuse each stage's dual-layout attention (+2 LNs) into one pallas
+    # kernel (ops/stqi_attention.py). Param tree is unchanged, so the flag
+    # can flip on a loaded checkpoint.
+    fused_attention: bool = False
     # loss weights (configs/multiclue_gaze/multiclue_gaze_r50_gaze360.py)
     loss_cls_weight: float = 2.0
     loss_bbox_weight: float = 5.0
@@ -120,7 +124,8 @@ class MCGazeModel(nn.Module):
                 ffn_channels=cfg.ffn_channels,
                 feat_channels=cfg.dyn_feat_channels, roi_size=cfg.roi_size,
                 num_queries=q, num_cls_fcs=cfg.num_cls_fcs,
-                num_reg_fcs=cfg.num_reg_fcs, dtype=dtype,
+                num_reg_fcs=cfg.num_reg_fcs,
+                fused_attention=cfg.fused_attention, dtype=dtype,
                 name=f'bbox_head_{stage}')(roi_feat, query, t)
             boxes = delta2bbox(rois, deltas.astype(jnp.float32))
             gaze = GazeHead(cfg.channels, cfg.gaze_dim, dtype=dtype,
