@@ -95,10 +95,47 @@ class VideoGazeEvaluator:
                  for name, g in gazes.items()}
         return boxes, scores, gazes
 
+    def run_video_from_paths(self, paths: list, video_id: int) -> dict:
+        """Like run_video but decode+preprocess happen in the native C++
+        thread pool (one call for the whole video; falls back to cv2 +
+        the python pipeline when the native lib isn't built)."""
+        cfg = self.cfg
+        native = getattr(self, '_native', None)
+        if native is None:
+            try:
+                from ..data.native_loader import NativeClipLoader
+                native = self._native = NativeClipLoader()
+            except (RuntimeError, OSError):
+                self._native = False
+                native = False
+        if native is False:
+            import cv2
+            frames = []
+            for p in paths:
+                img = cv2.imread(p)
+                if img is None:
+                    raise FileNotFoundError(p)
+                frames.append(cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
+            return self.run_video(frames, video_id)
+        f = len(paths)
+        crop = [cfg.crop_ratio] * f if cfg.crop_ratio else None
+        imgs, meta = native.load(paths, crop, None, cfg.scale, cfg.canvas)
+        new_h = meta[:, 4].astype(np.float32)
+        new_w = meta[:, 5].astype(np.float32)
+        whwh = np.stack([new_w, new_h, new_w, new_h], -1)
+        sfs = np.stack([new_w / meta[:, 3], new_h / meta[:, 2],
+                        new_w / meta[:, 3], new_h / meta[:, 2]],
+                       -1).astype(np.float32)
+        return self._run_preprocessed(imgs, whwh, sfs, f, video_id)
+
     def run_video(self, frames: list, video_id: int) -> dict:
         cfg = self.cfg
         f = len(frames)
         imgs, whwh, sfs = preprocess_frames(frames, cfg)
+        return self._run_preprocessed(imgs, whwh, sfs, f, video_id)
+
+    def _run_preprocessed(self, imgs, whwh, sfs, f, video_id) -> dict:
+        cfg = self.cfg
         slices = clip_slices(f, cfg.clip_length, cfg.stride)
         length = slices[0][1]
 

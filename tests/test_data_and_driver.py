@@ -168,3 +168,35 @@ def test_driver_zeroes_low_score_boxes():
     res = VideoGazeEvaluator(forward, cfg).run_video(frames, 1)
     assert all(b is None for b in res['face_bboxes'])
     assert res['face_score'][0] == pytest.approx(0.1)
+
+
+def test_run_video_from_paths_matches_run_video(synth, tmp_path):
+    """Native-decode eval entry must produce identical results to the
+    in-memory frame path (same crop/resize/pad via the shared OpenCV)."""
+    _, ann, prefix = synth
+    import json as _json
+    video = _json.load(open(ann))['videos'][0]
+    paths = [osp.join(prefix, n) for n in video['file_names']]
+    frames = [cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB)
+              for p in paths]
+
+    cfg = EvalConfig(scale=(32, 32), canvas=(32, 32), crop_ratio=0.84,
+                     clip_batch=2)
+
+    def forward(imgs, whwh, t):
+        k = imgs.shape[0]
+        boxes = np.tile(np.asarray([[2., 2., 8., 8.]], np.float32),
+                        (k, 3, 1)).reshape(k, 3, 4)
+        scores = np.full((k, 3), 0.9, np.float32)
+        g = imgs.mean(axis=(1, 2))          # content-dependent
+        g = g / np.linalg.norm(g, axis=-1, keepdims=True)
+        return boxes, scores, dict(fusion=g, face=g, eyes=g, head=g)
+
+    ev = VideoGazeEvaluator(forward, cfg)
+    a = ev.run_video(frames, video['id'])
+    b = ev.run_video_from_paths(paths, video['id'])
+    np.testing.assert_allclose(np.asarray(a['fusion_gazes']),
+                               np.asarray(b['fusion_gazes']), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray([x or [0] * 4 for x in a['head_bboxes']]),
+        np.asarray([x or [0] * 4 for x in b['head_bboxes']]), atol=1e-4)

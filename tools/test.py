@@ -65,13 +65,8 @@ def main():
 
     results = []
     for video in videos:
-        frames = []
-        for name in video['file_names']:
-            img = cv2.imread(osp.join(args.root, name))
-            if img is None:
-                raise FileNotFoundError(osp.join(args.root, name))
-            frames.append(cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
-        results.append(evaluator.run_video(frames, video['id']))
+        paths = [osp.join(args.root, name) for name in video['file_names']]
+        results.append(evaluator.run_video_from_paths(paths, video['id']))
     results = gather_objects(results)
     if process_index() != 0:
         return

@@ -107,14 +107,9 @@ def main():
     t0 = time.time()
     total_frames = 0
     for i, video in enumerate(videos):
-        frames = []
-        for name in video['file_names']:
-            img = cv2.imread(osp.join(args.root, name))
-            if img is None:
-                raise FileNotFoundError(osp.join(args.root, name))
-            frames.append(cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
-        results.append(evaluator.run_video(frames, video['id']))
-        total_frames += len(frames)
+        paths = [osp.join(args.root, name) for name in video['file_names']]
+        results.append(evaluator.run_video_from_paths(paths, video['id']))
+        total_frames += len(paths)
         if (i + 1) % 50 == 0:
             print(f'{i + 1}/{len(videos)} videos, '
                   f'{total_frames / (time.time() - t0):.1f} frames/s')
