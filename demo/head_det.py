@@ -73,6 +73,8 @@ def main():
     ap.add_argument('--conf-thres', type=float, default=0.25)
     ap.add_argument('--iou-thres', type=float, default=0.45)
     ap.add_argument('--batch', type=int, default=8)
+    ap.add_argument('--img-size', type=int, default=640,
+                    help='letterbox canvas (stride-32 multiple)')
     ap.add_argument('--save-conf', action='store_true')
     args = ap.parse_args()
 
@@ -96,7 +98,7 @@ def main():
     cap.release()
     print(f'{len(frames)} frames from {args.video}')
 
-    cfg = YoloConfig()
+    cfg = YoloConfig(img_size=args.img_size)
     detector = HeadDetector(load_yolo_variables(args.weights, cfg), cfg,
                             args.conf_thres, args.iou_thres)
 
