@@ -79,7 +79,6 @@ def main():
     args = ap.parse_args()
 
     import cv2
-    import jax
 
     from mcgaze_tpu.models.yolov5 import HeadDetector, YoloConfig
 

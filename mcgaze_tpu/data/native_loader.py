@@ -13,7 +13,6 @@ Usage:
 from __future__ import annotations
 
 import ctypes
-import os
 import os.path as osp
 import subprocess
 from typing import Optional, Sequence, Tuple

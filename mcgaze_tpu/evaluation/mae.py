@@ -13,8 +13,6 @@ whose GT yaw magnitude <= 90 deg), frame-count-weighted over videos.
 """
 from __future__ import annotations
 
-import math
-
 import numpy as np
 
 

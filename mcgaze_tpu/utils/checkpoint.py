@@ -7,7 +7,6 @@ import os.path as osp
 import re
 from typing import Any
 
-import jax
 import orbax.checkpoint as ocp
 
 

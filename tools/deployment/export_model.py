@@ -42,7 +42,6 @@ def main():
     from jax import export as jexport
 
     from mcgaze_tpu.utils.config import load_config
-    from tools.test_gaze360_gaze import build_forward  # reuses ckpt loading
 
     cfg = load_config(args.config)
     t = cfg.model.clip_length

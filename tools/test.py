@@ -41,8 +41,6 @@ def main():
     args = parse_args()
     import dataclasses
 
-    import cv2
-
     from mcgaze_tpu.evaluation.driver import VideoGazeEvaluator
     from mcgaze_tpu.parallel.distributed import (gather_objects,
                                                  init_distributed,

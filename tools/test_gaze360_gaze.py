@@ -16,7 +16,6 @@ sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 from mcgaze_tpu.utils.env import setup_jax_platform  # noqa: E402
 
-import cv2
 import numpy as np
 
 

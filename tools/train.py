@@ -6,11 +6,9 @@ Examples:
   python tools/train.py <cfg> --synthetic --max-iters 20   # smoke test
 """
 import argparse
-import json
 import os
 import os.path as osp
 import sys
-import time
 
 sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
