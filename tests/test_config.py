@@ -80,3 +80,34 @@ def test_legacy_config_surface(tmp_path):
     assert cfg.data_train.crop_size == 0.68
     assert cfg.data_train.batch_size == 2
     assert cfg.work_dir == './work_dirs/xyz'
+
+
+import os.path as osp
+
+import pytest
+
+REFERENCE = '/root/reference'
+
+
+@pytest.mark.skipif(not osp.isdir(REFERENCE),
+                    reason='reference checkout not mounted')
+def test_unmodified_reference_configs_load():
+    """The translator must consume the reference's ACTUAL config files
+    (mmcv dict style, `_base_` inheritance) without edits."""
+    g = load_config(osp.join(
+        REFERENCE, 'configs/multiclue_gaze/multiclue_gaze_r50_gaze360.py'))
+    assert g.model.num_stages == 4 and g.model.clip_length == 7
+    assert g.model.loss_gaze_weight == 6.0 and g.model.loss_bbox_weight == 5.0
+    assert g.optim.lr == 1e-3 and g.optim.max_iters == 7000
+    assert g.optim.lr_steps == (6000,) and g.optim.backbone_lr_mult == 0.1
+    assert g.optim.grad_clip_norm == 0.1
+    assert g.data_train.batch_size == 32
+    assert g.data_train.scale == (224, 224)
+    assert g.data_train.crop_size == 0.68
+
+    l = load_config(osp.join(
+        REFERENCE, 'configs/multiclue_gaze/multiclue_gaze_r50_l2cs.py'))
+    assert l.optim.max_iters == 13000 and l.optim.lr_steps == (12000,)
+    assert l.data_train.scale == (448, 448)
+    assert l.data_train.batch_size == 8
+    assert l.data_train.crop_size is None
