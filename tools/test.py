@@ -33,6 +33,8 @@ def parse_args():
     p.add_argument('--clip-batch', type=int, default=8)
     p.add_argument('--max-videos', type=int, default=0)
     p.add_argument('--dtype', default=None)
+    p.add_argument('--cfg-options', nargs='+', default=None,
+                   help="config overrides 'a.b=val'")
     return p.parse_args()
 
 
@@ -50,7 +52,8 @@ def main():
     from tools.test_gaze360_gaze import build_forward
 
     init_distributed()
-    cfg = load_config(args.config)
+    from mcgaze_tpu.utils.cfg_options import apply_overrides
+    cfg = apply_overrides(load_config(args.config), args.cfg_options)
     eval_cfg = dataclasses.replace(cfg.eval_cfg, clip_batch=args.clip_batch)
     evaluator = VideoGazeEvaluator(
         build_forward(cfg, args.checkpoint, args.dtype), eval_cfg)

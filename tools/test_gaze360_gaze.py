@@ -31,6 +31,8 @@ def parse_args():
     p.add_argument('--max-videos', type=int, default=0)
     p.add_argument('--dtype', default=None,
                    help="override model dtype (e.g. bfloat16)")
+    p.add_argument('--cfg-options', nargs='+', default=None,
+                   help="config overrides 'a.b=val'")
     return p.parse_args()
 
 
@@ -83,7 +85,8 @@ def main():
     from mcgaze_tpu.utils.config import load_config
     import dataclasses
 
-    cfg = load_config(args.config)
+    from mcgaze_tpu.utils.cfg_options import apply_overrides
+    cfg = apply_overrides(load_config(args.config), args.cfg_options)
     eval_cfg = dataclasses.replace(cfg.eval_cfg, clip_batch=args.clip_batch)
     forward = build_forward(cfg, args.checkpoint, args.dtype)
     evaluator = VideoGazeEvaluator(forward, eval_cfg)

@@ -28,6 +28,9 @@ def parse_args():
     p.add_argument('--synthetic', action='store_true',
                    help='random batches instead of the dataset (smoke)')
     p.add_argument('--log-interval', type=int)
+    p.add_argument('--cfg-options', nargs='+', default=None,
+                   help="config overrides 'a.b=val' (reference DictAction "
+                        'surface)')
     return p.parse_args()
 
 
@@ -75,7 +78,8 @@ def main():
     init_distributed()
     args.seed = sync_random_seed(args.seed)
 
-    cfg = load_config(args.config)
+    from mcgaze_tpu.utils.cfg_options import apply_overrides
+    cfg = apply_overrides(load_config(args.config), args.cfg_options)
     work_dir = args.work_dir or cfg.work_dir
     os.makedirs(work_dir, exist_ok=True)
     max_iters = args.max_iters or cfg.optim.max_iters
