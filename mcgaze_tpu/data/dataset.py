@@ -66,6 +66,15 @@ class Gaze360ClipDataset:
         self.video_frames = {}  # vid_id -> sorted annotated frame list
         for vid_id in self.api.get_vid_ids():
             anns = self.api.anns_of_video(vid_id)
+            if anns and 'bboxes' not in anns[0]:
+                raise ValueError(
+                    f'{cfg.ann_file}: annotations carry no "bboxes" — '
+                    'training needs the bbox-bearing train/test JSONs '
+                    'shipped with the reference release (its converter '
+                    'emits gaze-only JSONs, and the face/eyes/head boxes '
+                    'cannot be derived from metadata.mat: those are '
+                    'full-frame coords while rawframes are crops). '
+                    'Gaze-only JSONs still work for MAE scoring.')
             length = self.api.load_vid(vid_id)['length']
             frames = [f for f in range(length)
                       if any(a['bboxes'][f] is not None for a in anns)]

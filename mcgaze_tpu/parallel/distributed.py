@@ -37,21 +37,53 @@ def process_index() -> int:
     return jax.process_index()
 
 
+_initialized = False
+
+
 def init_distributed(coordinator_address: str | None = None,
                      num_processes: int | None = None,
                      process_id: int | None = None) -> None:
     """jax.distributed.initialize with env-var fallback; safe to call in
-    single-process runs (no-op when no coordinator is configured)."""
+    single-process runs (no-op when no coordinator is configured).
+
+    MUST run before any other jax API touches the backend (including
+    jax.process_count() — querying it would initialise the local backend
+    and make distributed init impossible), so this function decides
+    whether to initialise from the ENVIRONMENT alone:
+      COORDINATOR_ADDRESS / JAX_COORDINATOR_ADDRESS  -> coordinator
+      NUM_PROCESSES / JAX_NUM_PROCESSES              -> world size
+      PROCESS_ID / JAX_PROCESS_ID                    -> this process
+    (the names tools/dist_train.sh documents; managed TPU pods can omit
+    all three and rely on jax's cluster autodetection)."""
     import os
 
-    import jax
-    if process_count() > 1:
-        return                                    # already initialised
-    if coordinator_address is None and 'JAX_COORDINATOR_ADDRESS' not in \
-            os.environ and 'COORDINATOR_ADDRESS' not in os.environ:
+    global _initialized
+    if _initialized:
+        return
+
+    def env(*names):
+        for n in names:
+            if os.environ.get(n):
+                return os.environ[n]
+        return None
+
+    coordinator_address = coordinator_address or env(
+        'COORDINATOR_ADDRESS', 'JAX_COORDINATOR_ADDRESS')
+    if coordinator_address is None:
         return                                    # single-process run
-    jax.distributed.initialize(coordinator_address, num_processes,
-                               process_id)
+    if num_processes is None and env('NUM_PROCESSES', 'JAX_NUM_PROCESSES'):
+        num_processes = int(env('NUM_PROCESSES', 'JAX_NUM_PROCESSES'))
+    if process_id is None and env('PROCESS_ID', 'JAX_PROCESS_ID'):
+        process_id = int(env('PROCESS_ID', 'JAX_PROCESS_ID'))
+
+    import jax
+    try:
+        jax.distributed.initialize(coordinator_address, num_processes,
+                                   process_id)
+    except RuntimeError as e:                     # already initialised
+        if 'already' not in str(e):
+            raise
+    _initialized = True
 
 
 def sync_random_seed(seed: int | None = None) -> int:

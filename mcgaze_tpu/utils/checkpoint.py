@@ -30,9 +30,11 @@ def save_checkpoint(work_dir: str, step: int, tree: Any,
     return path
 
 
-def restore_checkpoint(path: str, target: Any) -> Any:
-    """Restore a pytree saved by save_checkpoint; `target` supplies the
-    structure/shape skeleton (e.g. freshly-initialised variables)."""
+def restore_checkpoint(path: str, target: Any = None) -> Any:
+    """Restore a pytree saved by save_checkpoint. With `target`, restores
+    into that structure/shape skeleton; without, returns whatever the
+    checkpoint holds (callers pick the subtrees they need, so an eval-only
+    consumer can open a full train-state checkpoint)."""
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(osp.abspath(path), target)
 

@@ -121,15 +121,19 @@ def _translate_legacy(ns: dict) -> Config:
     data_d = ns.get('data', {})
 
     def pipeline_params(pipeline):
+        """Returns (crop, scale, flip); flip is None when the pipeline has
+        no RandomFlip step (caller applies the split default), and the
+        explicit value — including 0.0 — when it does."""
         crop, scale = None, (224, 224)
-        flip = 0.0
+        flip = None
         for step in pipeline or []:
             if step.get('type') == 'CenterCrop':
                 crop = step.get('crop_size', (0.68, 0.68))[0]
             elif step.get('type') == 'Resize':
                 scale = tuple(step.get('img_scale', (224, 224)))
             elif step.get('type') == 'RandomFlip':
-                flip = step.get('flip_ratio', 0.0) or 0.0
+                # mmdet treats flip_ratio=None as "never flip"
+                flip = step.get('flip_ratio') or 0.0
         return crop, scale, flip
 
     def data_cfg(split, default_flip):
@@ -141,7 +145,7 @@ def _translate_legacy(ns: dict) -> Config:
             img_prefix=d.get('img_prefix', ''),
             clip_length=d.get('clip_length', clip_length),
             scale=scale, canvas=canvas, crop_size=crop,
-            flip_ratio=flip if flip else default_flip,
+            flip_ratio=default_flip if flip is None else flip,
             batch_size=data_d.get('samples_per_gpu', 32),
         )
 

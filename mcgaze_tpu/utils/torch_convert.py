@@ -94,8 +94,6 @@ def convert_mcgaze_checkpoint_dict(sd: dict, num_stages: int = 4) -> dict:
     convert_backbone(params, stats, sd)
 
     for i in range(4):
-        _linear(params, f'neck/lateral_{i}',
-                f'neck.lateral_convs.{i}.conv', sd, transpose=False)
         _set(params, f'neck/lateral_{i}/kernel',
              _conv(sd[f'neck.lateral_convs.{i}.conv.weight']))
         _set(params, f'neck/lateral_{i}/bias',

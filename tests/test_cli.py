@@ -62,6 +62,14 @@ def test_train_eval_mae_cli(workspace):
     ckpts = [d for d in os.listdir(ws['work_dir']) if d.startswith('ckpt_')]
     assert ckpts, r.stdout
 
+    # 1b) resume: full TrainState (opt_state + step) restores and training
+    # continues from iter 2 (review finding: resume was structurally broken)
+    r = run(['tools/train.py', ws['cfg'], '--synthetic', '--auto-resume',
+             '--max-iters', '3'])
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert 'resumed from' in r.stdout and 'at step 2' in r.stdout
+    assert 'ckpt_3' in r.stdout
+
     # 2) train again on the REAL synthetic dataset for 1 iter (data path)
     r = run(['tools/train.py', ws['cfg'], '--max-iters', '1',
              '--work-dir', osp.join(ws['root'], 'work2')])

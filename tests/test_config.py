@@ -111,3 +111,24 @@ def test_unmodified_reference_configs_load():
     assert l.data_train.scale == (448, 448)
     assert l.data_train.batch_size == 8
     assert l.data_train.crop_size is None
+
+
+def test_legacy_explicit_zero_flip_preserved(tmp_path):
+    """flip_ratio=0.0 (and None) in a legacy pipeline must NOT be replaced
+    by the 0.5 train default (review finding: falsy-value bug)."""
+    cfgf = tmp_path / 'c.py'
+    cfgf.write_text(textwrap.dedent("""
+        data = dict(samples_per_gpu=2,
+                    train=dict(ann_file='a.json', img_prefix='i/',
+                               pipeline=[dict(type='Resize',
+                                              img_scale=(224, 224)),
+                                         dict(type='RandomFlip',
+                                              flip_ratio=0.0)]),
+                    test=dict(ann_file='t.json', img_prefix='i/',
+                              pipeline=[dict(type='Resize',
+                                             img_scale=(224, 224))]))
+        """))
+    cfg = load_config(str(cfgf))
+    assert cfg.data_train.flip_ratio == 0.0      # explicit 0 kept
+    # no RandomFlip step at all -> split default applies
+    assert cfg.data_test.flip_ratio == 0.0

@@ -200,3 +200,19 @@ def test_run_video_from_paths_matches_run_video(synth, tmp_path):
     np.testing.assert_allclose(
         np.asarray([x or [0] * 4 for x in a['head_bboxes']]),
         np.asarray([x or [0] * 4 for x in b['head_bboxes']]), atol=1e-4)
+
+
+def test_dataset_rejects_gaze_only_annotations(tmp_path):
+    """Clear error (not KeyError) when the JSON lacks box tracks
+    (review finding: documented prepare->train flow gap)."""
+    import json as _json
+    data = dict(videos=[dict(id=1, width=8, height=6, length=1,
+                             file_names=['1/0.png'])],
+                categories=[dict(id=1, name='person_face')],
+                annotations=[dict(id=1, video_id=1, category_id=1,
+                                  gaze=[[0, 0, -1]])])
+    ann = tmp_path / 'gaze_only.json'
+    ann.write_text(_json.dumps(data))
+    cfg = DataConfig(ann_file=str(ann), img_prefix=str(tmp_path))
+    with pytest.raises(ValueError, match='bboxes'):
+        Gaze360ClipDataset(cfg, use_native=False)

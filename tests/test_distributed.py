@@ -40,3 +40,36 @@ def test_structure_fingerprint_sensitivity():
     assert fp(a) == fp(b)
     assert fp(a) != fp(c)
     assert fp(a) != fp(d)
+
+
+def test_init_distributed_env_parsing(monkeypatch):
+    """init_distributed must decide from env alone (no backend-touching
+    jax call first) and forward the documented variables as args."""
+    import mcgaze_tpu.parallel.distributed as D2
+    calls = {}
+
+    def fake_init(addr, n, pid):
+        calls['args'] = (addr, n, pid)
+
+    import jax
+    monkeypatch.setattr(jax.distributed, 'initialize', fake_init)
+    monkeypatch.setattr(D2, '_initialized', False)
+    monkeypatch.setenv('COORDINATOR_ADDRESS', 'host0:8476')
+    monkeypatch.setenv('NUM_PROCESSES', '4')
+    monkeypatch.setenv('PROCESS_ID', '2')
+    D2.init_distributed()
+    assert calls['args'] == ('host0:8476', 4, 2)
+    # second call is a no-op
+    calls.clear()
+    D2.init_distributed()
+    assert not calls
+    monkeypatch.setattr(D2, '_initialized', False)
+
+
+def test_init_distributed_noop_without_coordinator(monkeypatch):
+    import mcgaze_tpu.parallel.distributed as D2
+    monkeypatch.delenv('COORDINATOR_ADDRESS', raising=False)
+    monkeypatch.delenv('JAX_COORDINATOR_ADDRESS', raising=False)
+    monkeypatch.setattr(D2, '_initialized', False)
+    D2.init_distributed()          # must not raise or touch the backend
+    assert D2._initialized is False

@@ -80,10 +80,8 @@ def main():
         ca = cost_analysis(fwd, variables, imgs, whwh)
         label = f'eval forward (1 clip x {t} frames, {h}x{w})'
 
-    n_params = sum(np.prod(x.shape) for x in jax.tree.leaves(
-        init_model(cfg.model, jax.random.PRNGKey(0),
-                   image_size=(h, w))[1]['params'])) if not args.train else \
-        sum(np.prod(x.shape) for x in jax.tree.leaves(state.params))
+    tree = state.params if args.train else variables['params']
+    n_params = sum(np.prod(x.shape) for x in jax.tree.leaves(tree))
 
     print('=' * 60)
     print(label)

@@ -65,8 +65,7 @@ def main():
             variables = convert_torch_checkpoint(args.checkpoint, variables)
         else:
             from mcgaze_tpu.utils.checkpoint import restore_checkpoint
-            restored = restore_checkpoint(args.checkpoint, dict(
-                params=variables['params'], stats=variables['stats']))
+            restored = restore_checkpoint(args.checkpoint)
             variables = {'params': restored['params'],
                          'stats': restored['stats']}
 

@@ -55,10 +55,11 @@ def build_forward(cfg, checkpoint, dtype=None):
             from mcgaze_tpu.utils.torch_convert import convert_torch_checkpoint
             variables = convert_torch_checkpoint(checkpoint, variables)
         else:
-            variables = restore_checkpoint(checkpoint, dict(
-                params=variables['params'], stats=variables['stats']))
-            variables = {'params': variables['params'],
-                         'stats': variables['stats']}
+            # Targetless restore: accepts both eval-only {params, stats}
+            # checkpoints and full TrainState checkpoints from tools/train.
+            restored = restore_checkpoint(checkpoint)
+            variables = {'params': restored['params'],
+                         'stats': restored['stats']}
 
     from functools import partial
 
@@ -85,17 +86,17 @@ def main():
     from mcgaze_tpu.utils.config import load_config
     import dataclasses
 
+    from mcgaze_tpu.parallel.distributed import (gather_objects,
+                                                 init_distributed,
+                                                 process_index,
+                                                 shard_across_processes)
+    init_distributed()          # before ANY backend-touching jax call
+
     from mcgaze_tpu.utils.cfg_options import apply_overrides
     cfg = apply_overrides(load_config(args.config), args.cfg_options)
     eval_cfg = dataclasses.replace(cfg.eval_cfg, clip_batch=args.clip_batch)
     forward = build_forward(cfg, args.checkpoint, args.dtype)
     evaluator = VideoGazeEvaluator(forward, eval_cfg)
-
-    from mcgaze_tpu.parallel.distributed import (gather_objects,
-                                                 init_distributed,
-                                                 process_index,
-                                                 shard_across_processes)
-    init_distributed()
 
     anno = json.load(open(args.json))
     videos = anno['videos']

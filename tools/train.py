@@ -58,6 +58,14 @@ def synthetic_batches(cfg, seed=0):
             gt_boxes=boxes, gt_valid=valid, gt_gazes=gazes)
 
 
+def _state_dict(state):
+    """TrainState <-> checkpoint tree (plain dict: orbax round-trips dicts
+    structurally; eval-side consumers index ['params']/['stats'])."""
+    return dict(params=state.params, stats=state.stats,
+                opt_state=state.opt_state, step=state.step,
+                ema_params=state.ema_params)
+
+
 def main():
     setup_jax_platform()
     args = parse_args()
@@ -91,7 +99,11 @@ def main():
     resume = args.resume_from or (
         find_latest_checkpoint(work_dir) if args.auto_resume else None)
     if resume:
-        state = restore_checkpoint(resume, state)
+        # Full-state resume: params + stats + opt_state + step (+ EMA) —
+        # reference `--resume-from` semantics (apis/train.py:199-208),
+        # where LR schedule and optimizer moments continue, not restart.
+        restored = restore_checkpoint(resume, _state_dict(state))
+        state = state.replace(**restored)
         print(f'resumed from {resume} at step {int(state.step)}')
 
     if args.synthetic:
@@ -117,10 +129,7 @@ def main():
         nan_guard.after_iter(it + 1, logs)
         logger.after_iter(it + 1, logs, float(sched(it)), timer)
         if (it + 1) % cfg.checkpoint_interval == 0 or it + 1 == max_iters:
-            tree = dict(params=state.params, stats=state.stats)
-            if state.ema_params is not None:
-                tree['ema_params'] = state.ema_params
-            path = save_checkpoint(work_dir, it + 1, tree)
+            path = save_checkpoint(work_dir, it + 1, _state_dict(state))
             print(f'saved {path}')
 
 
