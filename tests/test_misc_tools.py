@@ -44,3 +44,10 @@ def test_analyze_logs_cli(tmp_path):
          'plot_curve', str(log), '--keys', 'loss'],
         capture_output=True, text=True, cwd='/root/repo')
     assert r.returncode == 0 and 'last=0.2' in r.stdout
+
+
+def test_collect_env_reports_core_fields():
+    from mcgaze_tpu.utils.collect_env import collect_env
+    info = collect_env()
+    assert 'jax' in info and info['jax'] != 'not installed'
+    assert 'devices' in info and 'native_loader' in info

@@ -84,6 +84,9 @@ def main():
     from mcgaze_tpu.parallel.distributed import (init_distributed,
                                                  sync_random_seed)
     init_distributed()
+    from mcgaze_tpu.utils.collect_env import collect_env
+    for k, v in collect_env().items():
+        print(f'env: {k}: {v}')
     args.seed = sync_random_seed(args.seed)
 
     from mcgaze_tpu.utils.cfg_options import apply_overrides
