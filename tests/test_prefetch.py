@@ -1,0 +1,54 @@
+"""Async batch prefetcher: stream identity, error propagation, put_fn."""
+import time
+
+import numpy as np
+import pytest
+
+from mcgaze_tpu.data.prefetch import BatchPrefetcher
+
+
+def test_prefetcher_preserves_stream():
+    batches = [dict(x=np.full((2,), i)) for i in range(7)]
+    out = list(BatchPrefetcher(iter(batches), prefetch=3))
+    assert len(out) == 7
+    for i, b in enumerate(out):
+        np.testing.assert_array_equal(b['x'], i)
+
+
+def test_prefetcher_applies_put_fn_in_worker():
+    seen_threads = set()
+
+    def put(b):
+        import threading
+        seen_threads.add(threading.current_thread().name)
+        return {k: v + 1 for k, v in b.items()}
+
+    out = list(BatchPrefetcher(iter([dict(x=np.zeros(1))] * 3), put))
+    assert all(b['x'][0] == 1 for b in out)
+    assert seen_threads == {'batch-prefetch'}
+
+
+def test_prefetcher_propagates_producer_error():
+    def gen():
+        yield dict(x=np.zeros(1))
+        raise RuntimeError('decode failed')
+
+    it = BatchPrefetcher(gen())
+    next(it)
+    with pytest.raises(RuntimeError, match='decode failed'):
+        next(it)
+
+
+def test_prefetcher_runs_ahead():
+    """Producer fills the queue while the consumer sleeps."""
+    produced = []
+
+    def gen():
+        for i in range(3):
+            produced.append(i)
+            yield dict(x=np.asarray([i]))
+
+    it = BatchPrefetcher(gen(), prefetch=2)
+    time.sleep(0.2)
+    assert len(produced) >= 2          # ran ahead without any next() call
+    assert [int(b['x'][0]) for b in it] == [0, 1, 2]

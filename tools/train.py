@@ -121,12 +121,17 @@ def main():
     step_fn = make_train_step(cfg.model, cfg.optim)
     sched = step_warmup_schedule(cfg.optim)
 
+    # decode (C++ pool) + host->device transfer run one batch ahead of
+    # the compiled step (data/prefetch.py)
+    from mcgaze_tpu.data.prefetch import device_put_batches
+    batches = device_put_batches(batches, bs)
+
     logger = TextLogger(work_dir, max_iters, log_interval)
     nan_guard = CheckInvalidLoss(interval=log_interval)
     timer = IterTimer()
     for it in range(int(state.step), max_iters):
         timer.before_iter()
-        batch = {k: jax.device_put(v, bs) for k, v in next(batches).items()}
+        batch = next(batches)
         state, logs = step_fn(state, batch)
         timer.after_iter(sync=logs['loss'])
         nan_guard.after_iter(it + 1, logs)
