@@ -31,6 +31,10 @@ def parse_args():
     p.add_argument('--cfg-options', nargs='+', default=None,
                    help="config overrides 'a.b=val' (reference DictAction "
                         'surface)')
+    p.add_argument('--profile-dir', default=None,
+                   help='capture a jax.profiler trace of iters 3-8 to this '
+                        'dir (TensorBoard/xprof; reference profile_time '
+                        'analogue)')
     return p.parse_args()
 
 
@@ -130,6 +134,13 @@ def main():
     nan_guard = CheckInvalidLoss(interval=log_interval)
     timer = IterTimer()
     for it in range(int(state.step), max_iters):
+        if args.profile_dir is not None:
+            import jax.profiler
+            if it == 3:
+                jax.profiler.start_trace(args.profile_dir)
+            elif it == 8:
+                jax.profiler.stop_trace()
+                print(f'profiler trace -> {args.profile_dir}')
         timer.before_iter()
         batch = next(batches)
         state, logs = step_fn(state, batch)
