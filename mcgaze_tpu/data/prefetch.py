@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from typing import Any, Callable, Iterator, Optional
 
 
@@ -34,17 +35,33 @@ class BatchPrefetcher:
         self._q: queue.Queue = queue.Queue(maxsize=max(prefetch, 1))
         self._err: Optional[BaseException] = None
         self._stop = threading.Event()
+        self._done = False                          # sentinel consumed
 
         def worker():
             try:
                 for batch in batches:
                     if self._stop.is_set():
                         return
-                    self._q.put(self._put(batch))
+                    while True:                     # interruptible put
+                        try:
+                            self._q.put(self._put(batch), timeout=0.1)
+                            break
+                        except queue.Full:
+                            if self._stop.is_set():
+                                return
             except BaseException as e:              # propagate to consumer
                 self._err = e
             finally:
-                self._q.put(self._SENTINEL)
+                # never block forever on the sentinel: a closed consumer
+                # may have left the queue full
+                while True:
+                    try:
+                        self._q.put_nowait(self._SENTINEL)
+                        break
+                    except queue.Full:
+                        if self._stop.is_set():
+                            break
+                        time.sleep(0.01)
 
         self._thread = threading.Thread(target=worker, daemon=True,
                                         name='batch-prefetch')
@@ -54,21 +71,27 @@ class BatchPrefetcher:
         return self
 
     def __next__(self):
+        if self._done:                              # exhausted stays exhausted
+            raise StopIteration
         item = self._q.get()
         if item is self._SENTINEL:
+            self._done = True
             if self._err is not None:
-                raise self._err
+                err, self._err = self._err, None
+                raise err
             raise StopIteration
         return item
 
-    def close(self):
+    def close(self, timeout: float = 5.0):
+        """Stop the producer, release queued (device) batches, join."""
         self._stop.set()
-        # drain so the producer can observe the stop flag
+        self._done = True
         try:
             while True:
                 self._q.get_nowait()
         except queue.Empty:
             pass
+        self._thread.join(timeout=timeout)
 
 
 def device_put_batches(batches: Iterator[dict], sharding) -> BatchPrefetcher:

@@ -53,8 +53,10 @@ def init_distributed(coordinator_address: str | None = None,
       COORDINATOR_ADDRESS / JAX_COORDINATOR_ADDRESS  -> coordinator
       NUM_PROCESSES / JAX_NUM_PROCESSES              -> world size
       PROCESS_ID / JAX_PROCESS_ID                    -> this process
-    (the names tools/dist_train.sh documents; managed TPU pods can omit
-    all three and rely on jax's cluster autodetection)."""
+      MCGAZE_DIST_AUTODETECT=1  -> no-arg jax.distributed.initialize()
+                                   (managed TPU pod cluster autodetection;
+                                   explicit opt-in because it raises on
+                                   non-cluster machines)."""
     import os
 
     global _initialized
@@ -70,6 +72,13 @@ def init_distributed(coordinator_address: str | None = None,
     coordinator_address = coordinator_address or env(
         'COORDINATOR_ADDRESS', 'JAX_COORDINATOR_ADDRESS')
     if coordinator_address is None:
+        # Managed-pod cluster autodetection (no-arg initialize) must be
+        # requested explicitly: running it on a dev box raises/hangs, so
+        # "unset" must keep meaning "single-process".
+        if env('MCGAZE_DIST_AUTODETECT'):
+            import jax
+            jax.distributed.initialize()
+            _initialized = True
         return                                    # single-process run
     if num_processes is None and env('NUM_PROCESSES', 'JAX_NUM_PROCESSES'):
         num_processes = int(env('NUM_PROCESSES', 'JAX_NUM_PROCESSES'))

@@ -11,12 +11,18 @@ import orbax.checkpoint as ocp
 
 
 def save_checkpoint(work_dir: str, step: int, tree: Any,
-                    max_to_keep: int | None = None) -> str:
-    """Write ckpt_<step>; with max_to_keep, prune older checkpoints
-    (reference CheckpointHook max_keep_ckpts)."""
+                    max_to_keep: int | None = None,
+                    train_tree: Any = None) -> str:
+    """Write ckpt_<step> (model: params/stats — what eval and export
+    load); optionally ckpt_<step>_train (opt_state/step/EMA — what resume
+    additionally needs). The split keeps eval-side restores from reading
+    the ~2x-params optimizer moments. With max_to_keep, prune older
+    checkpoints (reference CheckpointHook max_keep_ckpts)."""
     path = osp.abspath(osp.join(work_dir, f'ckpt_{step}'))
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, tree, force=True)
+    if train_tree is not None:
+        ckptr.save(path + '_train', train_tree, force=True)
     ckptr.wait_until_finished()
     if max_to_keep:
         import shutil
@@ -25,8 +31,9 @@ def save_checkpoint(work_dir: str, step: int, tree: Any,
             (re.fullmatch(r'ckpt_(\d+)', n) for n in os.listdir(work_dir))
             if m)
         for s in steps[:-max_to_keep]:
-            shutil.rmtree(osp.join(work_dir, f'ckpt_{s}'),
-                          ignore_errors=True)
+            for suffix in ('', '_train'):
+                shutil.rmtree(osp.join(work_dir, f'ckpt_{s}{suffix}'),
+                              ignore_errors=True)
     return path
 
 

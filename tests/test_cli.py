@@ -59,8 +59,12 @@ def test_train_eval_mae_cli(workspace):
     r = run(['tools/train.py', ws['cfg'], '--synthetic'])
     assert r.returncode == 0, r.stderr[-3000:]
     assert 'saved' in r.stdout
-    ckpts = [d for d in os.listdir(ws['work_dir']) if d.startswith('ckpt_')]
+    import re
+    ckpts = [d for d in os.listdir(ws['work_dir'])
+             if re.fullmatch(r'ckpt_\d+', d)]
     assert ckpts, r.stdout
+    # optimizer/step extras live next to the model checkpoint
+    assert any(d.endswith('_train') for d in os.listdir(ws['work_dir']))
 
     # 1b) resume: full TrainState (opt_state + step) restores and training
     # continues from iter 2 (review finding: resume was structurally broken)

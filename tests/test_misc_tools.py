@@ -51,3 +51,22 @@ def test_collect_env_reports_core_fields():
     info = collect_env()
     assert 'jax' in info and info['jax'] != 'not installed'
     assert 'devices' in info and 'native_loader' in info
+
+
+def test_checkpoint_split_and_prune(tmp_path):
+    """ckpt_N holds the model; ckpt_N_train the optimizer extras; pruning
+    removes both; eval-style targetless restore of ckpt_N sees ONLY the
+    model tree (review finding: eval was reading AdamW moments)."""
+    from mcgaze_tpu.utils.checkpoint import (find_latest_checkpoint,
+                                             restore_checkpoint,
+                                             save_checkpoint)
+    model = {'params': {'w': np.ones(2, np.float32)}}
+    train = {'step': np.zeros((), np.int32)}
+    for step in (1, 2, 3):
+        save_checkpoint(str(tmp_path), step, model, max_to_keep=2,
+                        train_tree=train)
+    names = sorted(p.name for p in tmp_path.iterdir())
+    assert names == ['ckpt_2', 'ckpt_2_train', 'ckpt_3', 'ckpt_3_train']
+    assert find_latest_checkpoint(str(tmp_path)).endswith('ckpt_3')
+    restored = restore_checkpoint(str(tmp_path / 'ckpt_3'))
+    assert set(restored) == {'params'}          # no optimizer payload

@@ -52,3 +52,30 @@ def test_prefetcher_runs_ahead():
     time.sleep(0.2)
     assert len(produced) >= 2          # ran ahead without any next() call
     assert [int(b['x'][0]) for b in it] == [0, 1, 2]
+
+
+def test_prefetcher_exhaustion_is_sticky():
+    """next() after StopIteration must raise StopIteration again, not
+    block (review finding: iterator protocol violation)."""
+    it = BatchPrefetcher(iter([dict(x=np.zeros(1))]))
+    assert len(list(it)) == 1
+    with pytest.raises(StopIteration):
+        next(it)
+    with pytest.raises(StopIteration):     # and again
+        next(it)
+
+
+def test_prefetcher_close_joins_producer():
+    """close() on a full prefetch=1 queue must not leak a blocked
+    producer thread (review finding: sentinel-put race)."""
+    def gen():
+        for i in range(100):
+            yield dict(x=np.asarray([i]))
+
+    it = BatchPrefetcher(gen(), prefetch=1)
+    next(it)                               # producer now blocked on put
+    time.sleep(0.05)
+    it.close()
+    assert not it._thread.is_alive()
+    with pytest.raises(StopIteration):
+        next(it)

@@ -62,11 +62,15 @@ def synthetic_batches(cfg, seed=0):
             gt_boxes=boxes, gt_valid=valid, gt_gazes=gazes)
 
 
-def _state_dict(state):
-    """TrainState <-> checkpoint tree (plain dict: orbax round-trips dicts
-    structurally; eval-side consumers index ['params']/['stats'])."""
-    return dict(params=state.params, stats=state.stats,
-                opt_state=state.opt_state, step=state.step,
+def _model_tree(state):
+    """Checkpoint split: ckpt_N holds the model (what eval loads),
+    ckpt_N_train holds optimizer/step/EMA (what resume additionally
+    needs) — eval never reads the ~2x-params AdamW moments."""
+    return dict(params=state.params, stats=state.stats)
+
+
+def _train_tree(state):
+    return dict(opt_state=state.opt_state, step=state.step,
                 ema_params=state.ema_params)
 
 
@@ -109,8 +113,14 @@ def main():
         # Full-state resume: params + stats + opt_state + step (+ EMA) —
         # reference `--resume-from` semantics (apis/train.py:199-208),
         # where LR schedule and optimizer moments continue, not restart.
-        restored = restore_checkpoint(resume, _state_dict(state))
-        state = state.replace(**restored)
+        state = state.replace(**restore_checkpoint(resume,
+                                                   _model_tree(state)))
+        if osp.isdir(resume + '_train'):
+            state = state.replace(**restore_checkpoint(
+                resume + '_train', _train_tree(state)))
+        else:
+            print(f'warning: {resume}_train missing — optimizer state and '
+                  'LR-schedule position restart from 0')
         print(f'resumed from {resume} at step {int(state.step)}')
 
     if args.synthetic:
@@ -133,13 +143,18 @@ def main():
     logger = TextLogger(work_dir, max_iters, log_interval)
     nan_guard = CheckInvalidLoss(interval=log_interval)
     timer = IterTimer()
-    for it in range(int(state.step), max_iters):
+    start_step = int(state.step)
+    prof_on = False
+    for it in range(start_step, max_iters):
         if args.profile_dir is not None:
+            # trace iters start+3..start+8 (relative to the resumed step)
             import jax.profiler
-            if it == 3:
+            if it == start_step + 3 and it + 1 < max_iters:
                 jax.profiler.start_trace(args.profile_dir)
-            elif it == 8:
+                prof_on = True
+            elif prof_on and it == start_step + 8:
                 jax.profiler.stop_trace()
+                prof_on = False
                 print(f'profiler trace -> {args.profile_dir}')
         timer.before_iter()
         batch = next(batches)
@@ -148,8 +163,13 @@ def main():
         nan_guard.after_iter(it + 1, logs)
         logger.after_iter(it + 1, logs, float(sched(it)), timer)
         if (it + 1) % cfg.checkpoint_interval == 0 or it + 1 == max_iters:
-            path = save_checkpoint(work_dir, it + 1, _state_dict(state))
+            path = save_checkpoint(work_dir, it + 1, _model_tree(state),
+                                   train_tree=_train_tree(state))
             print(f'saved {path}')
+    if prof_on:
+        import jax.profiler
+        jax.profiler.stop_trace()
+        print(f'profiler trace -> {args.profile_dir}')
 
 
 if __name__ == '__main__':
