@@ -38,6 +38,10 @@ class EvalConfig:
     canvas: Tuple[int, int] = (224, 224)
     crop_ratio: Optional[float] = 0.84  # mid of reference's U[0.68, 1)
     clip_batch: int = 8
+    # Ship raw uint8 frames to the device and normalize inside the jit
+    # (4x less host->device traffic); requires the native loader and a
+    # forward_fn that accepts uint8 (tools' build_forward does).
+    ship_uint8: bool = False
 
 
 def clip_slices(video_length: int, clip_len: int, stride: int):
@@ -119,7 +123,12 @@ class VideoGazeEvaluator:
             return self.run_video(frames, video_id)
         f = len(paths)
         crop = [cfg.crop_ratio] * f if cfg.crop_ratio else None
-        imgs, meta = native.load(paths, crop, None, cfg.scale, cfg.canvas)
+        if cfg.ship_uint8 and getattr(native, '_has_u8', False):
+            imgs, meta = native.load_u8(paths, crop, None, cfg.scale,
+                                        cfg.canvas)
+        else:
+            imgs, meta = native.load(paths, crop, None, cfg.scale,
+                                     cfg.canvas)
         new_h = meta[:, 4].astype(np.float32)
         new_w = meta[:, 5].astype(np.float32)
         whwh = np.stack([new_w, new_h, new_w, new_h], -1)

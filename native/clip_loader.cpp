@@ -98,10 +98,12 @@ void RescaleSize(int h, int w, int scale_w, int scale_h, int* new_w,
 }
 
 // One frame: decode -> RGB -> crop -> resize -> flip -> normalize+pad.
-// Returns false on decode failure.
+// Exactly one of out (normalized float32) / out_u8 (raw uint8, for
+// on-device normalization that ships 4x fewer bytes to the accelerator)
+// is non-null. Returns false on decode failure.
 bool LoadOne(const char* path, float crop_ratio, bool flip, int scale_w,
              int scale_h, int canvas_h, int canvas_w, float* out,
-             int32_t* meta) {
+             uint8_t* out_u8, int32_t* meta) {
   cv::Mat bgr = cv::imread(path, cv::IMREAD_COLOR);
   if (bgr.empty()) return false;
   cv::Mat img;
@@ -131,12 +133,23 @@ bool LoadOne(const char* path, float crop_ratio, bool flip, int scale_w,
 
   if (flip) cv::flip(resized, resized, 1);
 
+  int xmax = std::min(new_w, canvas_w);
+  if (out_u8 != nullptr) {
+    // raw uint8 pad (normalization happens on-device inside the jit)
+    std::fill(out_u8,
+              out_u8 + static_cast<size_t>(canvas_h) * canvas_w * 3,
+              static_cast<uint8_t>(0));
+    for (int y = 0; y < new_h && y < canvas_h; ++y) {
+      std::copy_n(resized.ptr<uint8_t>(y), xmax * 3,
+                  out_u8 + static_cast<size_t>(y) * canvas_w * 3);
+    }
+    return true;
+  }
   // normalize + pad straight into the canvas slice (zero fill first)
   std::fill(out, out + static_cast<size_t>(canvas_h) * canvas_w * 3, 0.0f);
   for (int y = 0; y < new_h && y < canvas_h; ++y) {
     const uint8_t* row = resized.ptr<uint8_t>(y);
     float* orow = out + static_cast<size_t>(y) * canvas_w * 3;
-    int xmax = std::min(new_w, canvas_w);
     for (int x = 0; x < xmax; ++x) {
       for (int c = 0; c < 3; ++c) {
         orow[x * 3 + c] = (row[x * 3 + c] - kMean[c]) / kStd[c];
@@ -157,10 +170,10 @@ void* mcg_pool_create(int n_threads) {
 
 void mcg_pool_destroy(void* pool) { delete static_cast<ThreadPool*>(pool); }
 
-int mcg_load_frames(void* pool, int n, const char** paths,
-                    const float* crop_ratios, const uint8_t* flips,
-                    int scale_w, int scale_h, int canvas_h, int canvas_w,
-                    float* out, int32_t* out_meta) {
+static int LoadBatch(void* pool, int n, const char** paths,
+                     const float* crop_ratios, const uint8_t* flips,
+                     int scale_w, int scale_h, int canvas_h, int canvas_w,
+                     float* out, uint8_t* out_u8, int32_t* out_meta) {
   auto* tp = static_cast<ThreadPool*>(pool);
   std::atomic<int> failed{0};
   std::atomic<int> remaining{n};
@@ -171,7 +184,9 @@ int mcg_load_frames(void* pool, int n, const char** paths,
     tp->Submit([&, i] {
       bool ok = LoadOne(paths[i], crop_ratios ? crop_ratios[i] : -1.0f,
                         flips && flips[i], scale_w, scale_h, canvas_h,
-                        canvas_w, out + frame_elems * i, out_meta + 6 * i);
+                        canvas_w, out ? out + frame_elems * i : nullptr,
+                        out_u8 ? out_u8 + frame_elems * i : nullptr,
+                        out_meta + 6 * i);
       if (!ok) {
         int expect = 0;
         failed.compare_exchange_strong(expect, i + 1);
@@ -185,6 +200,23 @@ int mcg_load_frames(void* pool, int n, const char** paths,
   std::unique_lock<std::mutex> lk(done_mu);
   done_cv.wait(lk, [&] { return remaining.load() == 0; });
   return failed.load();
+}
+
+int mcg_load_frames(void* pool, int n, const char** paths,
+                    const float* crop_ratios, const uint8_t* flips,
+                    int scale_w, int scale_h, int canvas_h, int canvas_w,
+                    float* out, int32_t* out_meta) {
+  return LoadBatch(pool, n, paths, crop_ratios, flips, scale_w, scale_h,
+                   canvas_h, canvas_w, out, nullptr, out_meta);
+}
+
+// uint8 variant: raw padded pixels, caller normalizes on-device.
+int mcg_load_frames_u8(void* pool, int n, const char** paths,
+                       const float* crop_ratios, const uint8_t* flips,
+                       int scale_w, int scale_h, int canvas_h, int canvas_w,
+                       uint8_t* out, int32_t* out_meta) {
+  return LoadBatch(pool, n, paths, crop_ratios, flips, scale_w, scale_h,
+                   canvas_h, canvas_w, nullptr, out, out_meta);
 }
 
 }  // extern "C"

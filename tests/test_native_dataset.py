@@ -54,3 +54,70 @@ def test_geometry_matches_full_pipeline(cfg_on_disk):
         np.testing.assert_allclose(geo['boxes'], full['boxes'])
         np.testing.assert_allclose(geo['valid'], full['valid'])
         np.testing.assert_allclose(geo['gazes'], full['gazes'])
+
+
+def test_ship_uint8_eval_matches_f32(cfg_on_disk):
+    """ship_uint8 path (raw uint8 + in-forward normalization) must score
+    identically to the default f32 path."""
+    import json as _json
+    import os.path as osp
+
+    from mcgaze_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+    from mcgaze_tpu.evaluation.driver import EvalConfig, VideoGazeEvaluator
+
+    video = _json.load(open(cfg_on_disk.ann_file))['videos'][0]
+    paths = [osp.join(cfg_on_disk.img_prefix, n)
+             for n in video['file_names']]
+
+    def forward(imgs, whwh, t):
+        imgs = np.asarray(imgs)
+        if imgs.dtype == np.uint8:      # mirrors build_forward's in-jit step
+            imgs = (imgs.astype(np.float32) - IMAGENET_MEAN) / IMAGENET_STD
+            hh, ww = imgs.shape[1], imgs.shape[2]
+            xx = np.arange(ww)[None, None, :]
+            yy = np.arange(hh)[None, :, None]
+            valid = ((xx < np.asarray(whwh)[:, 0, None, None]) &
+                     (yy < np.asarray(whwh)[:, 1, None, None]))
+            imgs = imgs * valid[..., None]
+        k = imgs.shape[0]
+        boxes = np.tile(np.asarray([[2., 2., 8., 8.]], np.float32),
+                        (k, 3, 1)).reshape(k, 3, 4)
+        scores = np.full((k, 3), 0.9, np.float32)
+        g = imgs.mean(axis=(1, 2))
+        g = g / np.linalg.norm(g, axis=-1, keepdims=True)
+        return boxes, scores, dict(fusion=g, face=g, eyes=g, head=g)
+
+    base = dict(scale=(32, 32), canvas=(32, 32), crop_ratio=0.84,
+                clip_batch=2)
+    a = VideoGazeEvaluator(forward, EvalConfig(**base)) \
+        .run_video_from_paths(paths, video['id'])
+    b = VideoGazeEvaluator(forward, EvalConfig(ship_uint8=True, **base)) \
+        .run_video_from_paths(paths, video['id'])
+    np.testing.assert_allclose(np.asarray(a['fusion_gazes']),
+                               np.asarray(b['fusion_gazes']), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray([x or [0] * 4 for x in a['head_bboxes']]),
+        np.asarray([x or [0] * 4 for x in b['head_bboxes']]), atol=1e-4)
+
+
+def test_native_u8_pixels_roundtrip(cfg_on_disk):
+    """load_u8 returns the exact resized pixels load() normalized."""
+    import json as _json
+    import os.path as osp
+
+    from mcgaze_tpu.data.native_loader import NativeClipLoader
+    from mcgaze_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+
+    video = _json.load(open(cfg_on_disk.ann_file))['videos'][0]
+    paths = [osp.join(cfg_on_disk.img_prefix, n)
+             for n in video['file_names']][:4]
+    loader = NativeClipLoader(n_threads=2)
+    f32, meta_a = loader.load(paths, None, None, (32, 32), (32, 32))
+    u8, meta_b = loader.load_u8(paths, None, None, (32, 32), (32, 32))
+    np.testing.assert_array_equal(meta_a, meta_b)
+    renorm = (u8.astype(np.float32) - IMAGENET_MEAN) / IMAGENET_STD
+    # padded region: f32 path wrote 0.0, u8 path wrote pixel 0 -> only
+    # compare the valid region
+    nh, nw = meta_a[0, 4], meta_a[0, 5]
+    np.testing.assert_allclose(renorm[:, :nh, :nw], f32[:, :nh, :nw],
+                               atol=1e-5)

@@ -65,6 +65,21 @@ def build_forward(cfg, checkpoint, dtype=None):
 
     @partial(jax.jit, static_argnames=('t',))
     def fwd(variables, imgs, whwh, t):
+        if imgs.dtype == jnp.uint8:
+            # raw frames shipped as uint8 (4x less H2D traffic); ImageNet
+            # normalization + the pad-region zeroing (the reference pads
+            # AFTER normalize, so pad must be 0 in normalized space, not
+            # a normalized black pixel) both fuse on-device
+            from mcgaze_tpu.data.transforms import (IMAGENET_MEAN,
+                                                    IMAGENET_STD)
+            imgs = (imgs.astype(jnp.float32) -
+                    jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+            hh, ww = imgs.shape[1], imgs.shape[2]
+            xx = jnp.arange(ww)[None, None, :]
+            yy = jnp.arange(hh)[None, :, None]
+            valid = ((xx < whwh[:, 0, None, None]) &
+                     (yy < whwh[:, 1, None, None]))
+            imgs = imgs * valid[..., None]
         out = model.apply(variables, imgs, whwh, clip_length=t)
         last = out['stages'][-1]
         return (last['boxes'], jax.nn.sigmoid(last['cls_logits'])[..., 0],
