@@ -12,9 +12,11 @@ this hides essentially all input latency.
 """
 from __future__ import annotations
 
+import atexit
 import queue
 import threading
 import time
+import weakref
 from typing import Any, Callable, Iterator, Optional
 
 
@@ -66,6 +68,13 @@ class BatchPrefetcher:
         self._thread = threading.Thread(target=worker, daemon=True,
                                         name='batch-prefetch')
         self._thread.start()
+        # Join the producer before interpreter teardown even if the owner
+        # never calls close(): a daemon thread killed inside device_put /
+        # the native pool aborts the process with 'FATAL: exception not
+        # rethrown' (pthread cancellation through noexcept frames).
+        ref = weakref.ref(self)
+        self._atexit = atexit.register(
+            lambda: (lambda s: s and s.close(timeout=2.0))(ref()))
 
     def __iter__(self):
         return self
@@ -83,7 +92,8 @@ class BatchPrefetcher:
         return item
 
     def close(self, timeout: float = 5.0):
-        """Stop the producer, release queued (device) batches, join."""
+        """Stop the producer, release queued (device) batches, join.
+        Idempotent; also runs via atexit if the owner forgets."""
         self._stop.set()
         self._done = True
         try:
@@ -92,6 +102,7 @@ class BatchPrefetcher:
         except queue.Empty:
             pass
         self._thread.join(timeout=timeout)
+        atexit.unregister(self._atexit)
 
 
 def device_put_batches(batches: Iterator[dict], sharding) -> BatchPrefetcher:

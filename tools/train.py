@@ -170,6 +170,10 @@ def main():
         import jax.profiler
         jax.profiler.stop_trace()
         print(f'profiler trace -> {args.profile_dir}')
+    # join the prefetch producer BEFORE interpreter teardown: a daemon
+    # thread still inside device_put / the native pool while the runtime
+    # shuts down aborts the process (C++ 'terminate called')
+    batches.close()
 
 
 if __name__ == '__main__':
