@@ -23,6 +23,7 @@ from flax import linen as nn
 # depth -> (block counts per stage)
 RESNET_SPECS = {
     18: (2, 2, 2, 2),
+    26: (1, 1, 1, 1),  # bottleneck; tiny variant for fast tests
     34: (3, 4, 6, 3),
     50: (3, 4, 6, 3),
     101: (3, 4, 23, 3),

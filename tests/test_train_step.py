@@ -92,19 +92,55 @@ def test_train_step_decreases_loss_and_freezes_stem():
         head_before)
 
 
-def test_sharded_step_runs_on_8_device_mesh():
-    cfg = tiny_cfg()
+def test_sharded_step_matches_unsharded():
+    """The correctness claim behind replacing the reference's NCCL DDP
+    (apis/train.py:113-124) with pjit over a mesh: one identical batch
+    stepped on 1 device, on a 4x2 (dp x tp) mesh and on an 8x1 mesh must
+    produce the same loss / grad-norm / updated params at fp32 tolerance.
+    A wrong TP PartitionSpec in parallel/mesh.py would break this."""
+    from mcgaze_tpu.parallel.mesh import param_shardings, replicated
+
+    cfg = ModelConfig(clip_length=7, num_stages=2,
+                      stage_loss_weights=(1.0, 1.0), backbone_depth=26)
     oc = OptimConfig()
-    mesh = make_mesh(n_data=4, n_model=2)
-    state = create_train_state(cfg, oc, jax.random.PRNGKey(0),
-                               image_size=(IMG, IMG))
+    state0 = create_train_state(cfg, oc, jax.random.PRNGKey(0),
+                                image_size=(IMG, IMG))
     step = make_train_step(cfg, oc)
-    batch = make_batch(np.random.RandomState(1), b=4)
-    bs = batch_sharding(mesh)
-    batch = {k: jax.device_put(v, bs) for k, v in batch.items()}
-    state, logs = step(state, batch)
-    assert np.isfinite(float(logs['loss']))
-    assert int(state.step) == 1
+    batch = make_batch(np.random.RandomState(1), b=8)
+
+    def run(mesh):
+        # the step donates its input state: give each run a fresh copy
+        state = jax.tree.map(jnp.array, state0)
+        b = batch
+        if mesh is not None:
+            state = state.replace(
+                params=jax.device_put(state.params,
+                                      param_shardings(mesh, state.params)),
+                stats=jax.device_put(state.stats, replicated(mesh)),
+                opt_state=jax.device_put(state.opt_state, replicated(mesh)),
+                step=jax.device_put(state.step, replicated(mesh)),
+            )
+            bs = batch_sharding(mesh)
+            b = {k: jax.device_put(v, bs) for k, v in batch.items()}
+        new_state, logs = step(state, b)
+        return (float(logs['loss']), float(logs['grad_norm']),
+                jax.device_get(new_state.params))
+
+    loss1, gn1, p1 = run(None)
+    for mesh in (make_mesh(n_data=4, n_model=2), make_mesh(n_data=8,
+                                                           n_model=1)):
+        lossm, gnm, pm = run(mesh)
+        assert lossm == pytest.approx(loss1, rel=2e-5)
+        assert gnm == pytest.approx(gn1, rel=2e-4)
+        # Adam's first-step update is lr_eff*sign(grad) (lr_eff = lr *
+        # warmup_ratio = 1e-6); params with noise-level grads can flip
+        # sign under a different reduction order, so allow atol of ~3
+        # update magnitudes. A wrong PartitionSpec diverges by orders of
+        # magnitude more (and is also caught by the scalar checks above).
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-4,
+                                                    atol=3e-6),
+            p1, pm)
 
 
 def test_loss_masks_head_only_frames():
