@@ -103,8 +103,9 @@ def resolve_records(split_entries, bbox_index=None) -> List[FrameRecord]:
         detectable = True
         if bbox_index is not None:
             bb = bbox_index.get((rec, person, frame))
-            detectable = bb is not None and not np.array_equal(
-                bb, np.asarray([-1, -1, -1, -1]))
+            # reference semantics (reorganizer :105): detectable iff NO
+            # bbox coordinate equals -1 — `(bbox != [-1,-1,-1,-1]).all()`
+            detectable = bb is not None and bool((np.asarray(bb) != -1).all())
         records.append(FrameRecord(rel_path, gaze, rec, person, frame,
                                    detectable))
     return records
