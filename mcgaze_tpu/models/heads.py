@@ -21,6 +21,10 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+# torch/mmcv nn.LayerNorm epsilon (flax's default is 1e-6) — checkpoint
+# parity requires matching it everywhere.
+LN_EPS = 1e-5
+
 
 class TorchMHA(nn.Module):
     """Self-attention numerically equivalent to torch.nn.MultiheadAttention
@@ -93,7 +97,7 @@ class MLPTower(nn.Module):
         for i in range(self.num_layers):
             x = nn.Dense(self.features, use_bias=False, dtype=self.dtype,
                          name=f'fc{i}')(x)
-            x = nn.LayerNorm(dtype=self.dtype, name=f'ln{i}')(x)
+            x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name=f'ln{i}')(x)
             x = nn.relu(x)
         return x
 
@@ -120,13 +124,13 @@ class DynamicConv(nn.Module):
         x = roi.reshape(m, hw, c)
         x = jnp.einsum('msc,mcf->msf', x, p_in,
                        preferred_element_type=jnp.float32).astype(self.dtype)
-        x = nn.relu(nn.LayerNorm(dtype=self.dtype, name='norm_in')(x))
+        x = nn.relu(nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name='norm_in')(x))
         x = jnp.einsum('msf,mfc->msc', x, p_out,
                        preferred_element_type=jnp.float32).astype(self.dtype)
-        x = nn.relu(nn.LayerNorm(dtype=self.dtype, name='norm_out')(x))
+        x = nn.relu(nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name='norm_out')(x))
         x = x.reshape(m, hw * c)
         x = nn.Dense(c, dtype=self.dtype, name='fc_layer')(x)
-        x = nn.relu(nn.LayerNorm(dtype=self.dtype, name='fc_norm')(x))
+        x = nn.relu(nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name='fc_norm')(x))
         return x
 
 
@@ -181,7 +185,7 @@ class STQIHead(nn.Module):
         else:
             attn = TorchMHA(self.channels, self.num_heads, dtype=self.dtype,
                             name='attention')
-            attn_norm = nn.LayerNorm(dtype=self.dtype,
+            attn_norm = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,
                                      name='attention_norm')
 
             # (a) spatial self-attention: the Q clue queries of each frame
@@ -200,13 +204,13 @@ class STQIHead(nn.Module):
         iic = DynamicConv(self.channels, self.feat_channels, self.roi_size,
                           dtype=self.dtype,
                           name='instance_interactive_conv')(flat_q, roi_feat)
-        obj = nn.LayerNorm(dtype=self.dtype, name='iic_norm')(flat_q + iic)
+        obj = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name='iic_norm')(flat_q + iic)
 
         # (d) FFN (residual inside, norm after — mmcv FFN + ffn_norm).
         y = nn.Dense(self.ffn_channels, dtype=self.dtype, name='ffn_fc1')(obj)
         y = nn.relu(y)
         y = nn.Dense(self.channels, dtype=self.dtype, name='ffn_fc2')(y)
-        obj = nn.LayerNorm(dtype=self.dtype, name='ffn_norm')(obj + y)
+        obj = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name='ffn_norm')(obj + y)
 
         # (e) towers + per-clue linear heads.
         cls_feat = MLPTower(c, self.num_cls_fcs, dtype=self.dtype,

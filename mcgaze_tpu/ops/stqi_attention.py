@@ -23,7 +23,7 @@ granularity anywhere):
     (t, q, 3, heads, hd) shape casts Mosaic cannot lower.
 
 Numerics match models.heads.TorchMHA + LayerNorm (fp32 compute, LN eps
-1e-6) to float tolerance (max abs diff ~1e-6 on a v5e).
+1e-5, matching torch) to float tolerance (max abs diff ~1e-6 on a v5e).
 
 MEASURED RESULT (v5e-1, 32 clips, fp32): unfused XLA path 1.14 ms, this
 kernel 1.85 ms (packed 32 clips/program) / 1.41 ms (1 clip/program). At
@@ -43,7 +43,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _layer_norm(x, scale, bias, eps=1e-6):
+def _layer_norm(x, scale, bias, eps=1e-5):
     mu = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
     return (x - mu) * jax.lax.rsqrt(var + eps) * scale + bias

@@ -5,7 +5,8 @@ ordering, DynamicConv bmm layout, frozen-BN bottleneck).
 Each test builds a small torch replica with the reference's structure
 (gaze_stqi_head.py / gaze_head.py / torchvision resnet semantics at eval
 time, dropout off), loads the SAME synthetic reference-named state_dict
-through utils.torch_convert, and compares outputs to 1e-4."""
+through utils.torch_convert, and compares outputs to 2e-5
+(tight enough to prove the LN epsilon matches torch's 1e-5)."""
 import numpy as np
 import pytest
 import torch
@@ -73,27 +74,28 @@ def torch_tower(sd, prefix, x, n):
     return x
 
 
-def torch_stqi_stage(sd, query, roi_feat):
+def torch_stqi_stage(sd, query, roi_feat, stage=0, n=N, t=T):
     """Reference GazeSTQIHead.forward (gaze_stqi_head.py:119-201) at eval:
     spatial attn -> temporal attn (same module+LN) -> DynamicConv ->
     FFN -> towers -> per-clue heads. query (N,Q,C); roi_feat (N*Q,S,S,C)
     NHWC (converted to the torch hw-major flatten inside)."""
-    tb = 'roi_head.bbox_head.0'
+    N_, T_ = n, t
+    tb = f'roi_head.bbox_head.{stage}'
     x = torch_mha(sd, f'{tb}.attention.attn', query)
     x = torch_ln(sd, f'{tb}.attention_norm', x)
     # temporal: (N=B*T, Q, C) -> (B*Q, T, C), same attention weights
-    x = x.reshape(1, T, Q, C).permute(0, 2, 1, 3).reshape(Q, T, C)
+    x = x.reshape(1, T_, Q, C).permute(0, 2, 1, 3).reshape(Q, T_, C)
     x = torch_mha(sd, f'{tb}.attention.attn', x)
     x = torch_ln(sd, f'{tb}.attention_norm', x)
-    x = x.reshape(1, Q, T, C).permute(0, 2, 1, 3).reshape(N, Q, C)
+    x = x.reshape(1, Q, T_, C).permute(0, 2, 1, 3).reshape(N_, Q, C)
 
     # DynamicConv (transformer.py:1116-1164)
     dc = f'{tb}.instance_interactive_conv'
-    fq = x.reshape(N * Q, C)
+    fq = x.reshape(N_ * Q, C)
     params = torch_linear(sd, f'{dc}.dynamic_layer', fq)
-    p_in = params[:, :C * 64].view(N * Q, C, 64)
-    p_out = params[:, C * 64:].view(N * Q, 64, C)
-    feats = roi_feat.reshape(N * Q, S * S, C)
+    p_in = params[:, :C * 64].view(N_ * Q, C, 64)
+    p_out = params[:, C * 64:].view(N_ * Q, 64, C)
+    feats = roi_feat.reshape(N_ * Q, S * S, C)
     y = torch.bmm(feats, p_in)
     y = torch.relu(torch_ln(sd, f'{dc}.norm_in', y))
     y = torch.bmm(y, p_out)
@@ -107,8 +109,8 @@ def torch_stqi_stage(sd, query, roi_feat):
     z = torch_linear(sd, f'{tb}.ffn.layers.1', torch.relu(z))
     obj = torch_ln(sd, f'{tb}.ffn_norm', obj + z)
 
-    cls_feat = torch_tower(sd, f'{tb}.cls_fcs', obj, 1).reshape(N, Q, C)
-    reg_feat = torch_tower(sd, f'{tb}.reg_fcs', obj, 3).reshape(N, Q, C)
+    cls_feat = torch_tower(sd, f'{tb}.cls_fcs', obj, 1).reshape(N_, Q, C)
+    reg_feat = torch_tower(sd, f'{tb}.reg_fcs', obj, 3).reshape(N_, Q, C)
     cls_logits, deltas = [], []
     for i, clue in enumerate(('face', 'eyes', 'head')):
         cls_logits.append(torch_linear(sd, f'{tb}.{clue}_fc_cls',
@@ -116,11 +118,11 @@ def torch_stqi_stage(sd, query, roi_feat):
         deltas.append(torch_linear(sd, f'{tb}.{clue}_fc_reg',
                                    reg_feat[:, i]))
     return (torch.stack(cls_logits, 1), torch.stack(deltas, 1),
-            obj.reshape(N, Q, C))
+            obj.reshape(N_, Q, C))
 
 
-def torch_gaze_head(sd, obj):
-    tg = 'roi_head.gaze_head.0'
+def torch_gaze_head(sd, obj, stage=0):
+    tg = f'roi_head.gaze_head.{stage}'
     gazes, confs = [], []
     for i, clue in enumerate(('face', 'eyes', 'head')):
         g = torch_tower(sd, f'{tg}.gaze_{clue}_fcs', obj[:, i], 2)
@@ -150,11 +152,11 @@ def test_stqi_stage_matches_torch(stage0_variables):
         {'params': p}, jnp.asarray(roi), jnp.asarray(query), T)
 
     np.testing.assert_allclose(np.asarray(j_cls),
-                               t_cls.detach().numpy(), atol=2e-4)
+                               t_cls.detach().numpy(), rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(j_deltas),
-                               t_deltas.detach().numpy(), atol=2e-4)
+                               t_deltas.detach().numpy(), rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(j_obj),
-                               t_obj.detach().numpy(), atol=2e-4)
+                               t_obj.detach().numpy(), rtol=2e-5, atol=2e-5)
 
 
 def test_gaze_head_matches_torch(stage0_variables):
@@ -166,7 +168,7 @@ def test_gaze_head_matches_torch(stage0_variables):
                            jnp.asarray(obj))
     for k in ('fusion', 'face', 'eyes', 'head'):
         np.testing.assert_allclose(np.asarray(out[k]),
-                                   ref[k].detach().numpy(), atol=2e-4,
+                                   ref[k].detach().numpy(), rtol=2e-5, atol=2e-5,
                                    err_msg=k)
 
 
