@@ -11,11 +11,13 @@ flow behind the published 10.74/9.81 MAE numbers:
      gazes,score}} with xywh boxes (zero boxes -> None)
 
 TPU-first deviations from the reference:
-  * clips are BATCHED (clip_batch clips per forward, one compiled shape)
-    instead of one-clip-at-a-time;
-  * the test-time CenterCrop ratio is deterministic (mid-range of the
-    reference's per-frame uniform [0.68, 1) sample — the reference evals
-    with unseeded RNG, so exact replication is impossible anyway).
+  * clips are BATCHED (clip_batch clips per forward, power-of-two padded
+    to a handful of compiled shapes) instead of one-clip-at-a-time;
+  * the test-time CenterCrop ratio defaults to deterministic (mid-range
+    of the reference's per-frame uniform [0.68, 1) sample — the reference
+    evals with unseeded RNG, so exact replication is impossible anyway);
+    set EvalConfig.crop_mode='reference' for seeded per-frame U[0.68, 1)
+    sampling matching the reference's distribution.
 """
 from __future__ import annotations
 
@@ -37,6 +39,14 @@ class EvalConfig:
     scale: Tuple[int, int] = (224, 224)
     canvas: Tuple[int, int] = (224, 224)
     crop_ratio: Optional[float] = 0.84  # mid of reference's U[0.68, 1)
+    # 'fixed': every frame cropped at crop_ratio (deterministic, the
+    # default deviation documented above). 'reference': per-frame ratio
+    # ~ U[crop_size, 1) from a seeded RNG — replicates the reference test
+    # pipeline's unseeded per-frame sampling (transforms.py:1128-1144,
+    # threaded per frame in test_gaze360_gaze.py:87-94) reproducibly.
+    crop_mode: str = 'fixed'
+    crop_size: float = 0.68             # reference-mode lower bound
+    crop_seed: int = 0
     clip_batch: int = 8
     # Ship raw uint8 frames to the device and normalize inside the jit
     # (4x less host->device traffic); requires the native loader and a
@@ -62,12 +72,26 @@ def clip_slices(video_length: int, clip_len: int, stride: int):
     return out
 
 
-def preprocess_frames(frames: list, cfg: EvalConfig):
+def crop_ratios(cfg: EvalConfig, num_frames: int, video_id: int):
+    """Per-frame crop ratios for one video, or None when cropping is off."""
+    if cfg.crop_ratio is None:
+        return None
+    if cfg.crop_mode == 'reference':
+        rng = np.random.RandomState(cfg.crop_seed + video_id)
+        return (cfg.crop_size +
+                rng.rand(num_frames) * (1.0 - cfg.crop_size)).tolist()
+    assert cfg.crop_mode == 'fixed', cfg.crop_mode
+    return [cfg.crop_ratio] * num_frames
+
+
+def preprocess_frames(frames: list, cfg: EvalConfig, ratios=None):
     """frames: list of HxWx3 RGB uint8 -> (imgs (F,canvas,3), whwh (F,4),
     scale_factors (F,4))."""
-    params = T.ClipParams(crop_ratio=cfg.crop_ratio, flip=False)
+    if ratios is None:
+        ratios = [cfg.crop_ratio] * len(frames)
     imgs, whwh, sfs = [], [], []
-    for fr in frames:
+    for fr, ratio in zip(frames, ratios):
+        params = T.ClipParams(crop_ratio=ratio, flip=False)
         r = T.process_frame(fr, params, cfg.scale, cfg.canvas)
         imgs.append(r['img'])
         whwh.append(r['whwh'])
@@ -87,15 +111,23 @@ class VideoGazeEvaluator:
         self.cfg = cfg
 
     def _forward_clips(self, imgs, whwh, starts, length):
-        """Runs clips [start:start+length] batched; returns per-clip preds."""
+        """Runs clips [start:start+length] batched; returns per-clip preds.
+
+        The clip count is padded up to the next power of two (capped at
+        clip_batch) by repeating the last clip, so XLA compiles at most
+        log2(clip_batch)+1 shapes instead of one per distinct tail size.
+        """
         cfg = self.cfg
         k = len(starts)
+        k_pad = min(cfg.clip_batch,
+                    1 if k <= 1 else 1 << (k - 1).bit_length())
+        starts = list(starts) + [starts[-1]] * (k_pad - k)
         sel = np.concatenate(
             [np.arange(s, s + length) for s in starts])
         boxes, scores, gazes = self.forward(imgs[sel], whwh[sel], length)
-        boxes = np.asarray(boxes).reshape(k, length, 3, 4)
-        scores = np.asarray(scores).reshape(k, length, 3)
-        gazes = {name: np.asarray(g).reshape(k, length, 3)
+        boxes = np.asarray(boxes).reshape(k_pad, length, 3, 4)[:k]
+        scores = np.asarray(scores).reshape(k_pad, length, 3)[:k]
+        gazes = {name: np.asarray(g).reshape(k_pad, length, 3)[:k]
                  for name, g in gazes.items()}
         return boxes, scores, gazes
 
@@ -122,7 +154,7 @@ class VideoGazeEvaluator:
                 frames.append(cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
             return self.run_video(frames, video_id)
         f = len(paths)
-        crop = [cfg.crop_ratio] * f if cfg.crop_ratio else None
+        crop = crop_ratios(cfg, f, video_id)
         if cfg.ship_uint8 and getattr(native, '_has_u8', False):
             imgs, meta = native.load_u8(paths, crop, None, cfg.scale,
                                         cfg.canvas)
@@ -140,7 +172,8 @@ class VideoGazeEvaluator:
     def run_video(self, frames: list, video_id: int) -> dict:
         cfg = self.cfg
         f = len(frames)
-        imgs, whwh, sfs = preprocess_frames(frames, cfg)
+        imgs, whwh, sfs = preprocess_frames(frames, cfg,
+                                            crop_ratios(cfg, f, video_id))
         return self._run_preprocessed(imgs, whwh, sfs, f, video_id)
 
     def _run_preprocessed(self, imgs, whwh, sfs, f, video_id) -> dict:

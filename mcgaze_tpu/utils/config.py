@@ -154,7 +154,9 @@ def _translate_legacy(ns: dict) -> Config:
     crop_ratio = (None if dte.crop_size is None
                   else (dte.crop_size + 1.0) / 2.0)
     eval_cfg = EvalConfig(clip_length=clip_length, scale=dte.scale,
-                          canvas=dte.canvas, crop_ratio=crop_ratio)
+                          canvas=dte.canvas, crop_ratio=crop_ratio,
+                          crop_size=dte.crop_size
+                          if dte.crop_size is not None else 0.68)
     return Config(model=model, optim=optim, data_train=dtr, data_test=dte,
                   eval_cfg=eval_cfg,
                   work_dir=ns.get('work_dir', './work_dirs/default'),

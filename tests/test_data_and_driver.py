@@ -216,3 +216,74 @@ def test_dataset_rejects_gaze_only_annotations(tmp_path):
     cfg = DataConfig(ann_file=str(ann), img_prefix=str(tmp_path))
     with pytest.raises(ValueError, match='bboxes'):
         Gaze360ClipDataset(cfg, use_native=False)
+
+
+def test_crop_ratios_modes():
+    from mcgaze_tpu.evaluation.driver import crop_ratios
+    fixed = crop_ratios(EvalConfig(crop_ratio=0.84), 5, video_id=3)
+    assert fixed == [0.84] * 5
+    cfg = EvalConfig(crop_mode='reference', crop_size=0.68, crop_seed=11)
+    a = crop_ratios(cfg, 40, video_id=3)
+    b = crop_ratios(cfg, 40, video_id=3)
+    c = crop_ratios(cfg, 40, video_id=4)
+    assert a == b                      # seeded: reproducible
+    assert a != c                      # per-video streams differ
+    arr = np.asarray(a)
+    assert (arr >= 0.68).all() and (arr < 1.0).all()
+    assert len(set(a)) > 30            # per-FRAME sampling, not per-clip
+    assert crop_ratios(EvalConfig(crop_ratio=None), 5, 0) is None
+
+
+def test_reference_crop_mode_runs_and_differs():
+    """reference crop mode must flow through run_video end-to-end and
+    produce different preprocessed pixels than fixed mode."""
+    rng = np.random.RandomState(0)
+    frames = [rng.randint(0, 255, (H, W, 3), np.uint8) for _ in range(8)]
+    seen = {}
+
+    def forward_for(tag):
+        def forward(imgs, whwh, t):
+            k = imgs.shape[0]
+            seen.setdefault(tag, []).append(np.asarray(imgs).copy())
+            g = np.tile(np.array([[0., 0., -1.]], np.float32), (k, 1))
+            return (np.full((k, 3, 4), 5.0, np.float32),
+                    np.ones((k, 3), np.float32),
+                    dict(fusion=g, face=g, eyes=g, head=g))
+        return forward
+
+    base = dict(scale=(32, 32), canvas=(32, 32))
+    r1 = VideoGazeEvaluator(forward_for('fix'),
+                            EvalConfig(crop_ratio=0.84, **base)).run_video(
+                                frames, 1)
+    r2 = VideoGazeEvaluator(forward_for('ref'),
+                            EvalConfig(crop_ratio=0.84,
+                                       crop_mode='reference',
+                                       **base)).run_video(frames, 1)
+    assert len(r1['fusion_gazes']) == len(r2['fusion_gazes']) == 8
+    assert not np.array_equal(seen['fix'][0], seen['ref'][0])
+
+
+def test_forward_clip_batches_are_pow2_padded():
+    """13 frames -> 3 clips; the forward must see a single padded batch of
+    4 clips (one compiled shape per pow2 bucket) with unchanged results."""
+    cfg = EvalConfig(scale=(32, 32), canvas=(32, 32), crop_ratio=None)
+    frames = [np.full((H, W, 3), i, np.uint8) for i in range(13)]
+    batch_ks = []
+
+    def forward(imgs, whwh, t):
+        k = imgs.shape[0] // t
+        batch_ks.append(k)
+        from mcgaze_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+        pix = imgs[:, 0, 0, 0] * IMAGENET_STD[0] + IMAGENET_MEAN[0]
+        fid = np.round(pix).astype(np.float32)
+        kk = imgs.shape[0]
+        g = np.stack([fid, np.zeros(kk, np.float32),
+                      -np.ones(kk, np.float32)], -1)
+        return (np.full((kk, 3, 4), 5.0, np.float32),
+                np.ones((kk, 3), np.float32),
+                dict(fusion=g, face=g, eyes=g, head=g))
+
+    res = VideoGazeEvaluator(forward, cfg).run_video(frames, 1)
+    assert batch_ks == [4]             # 3 clips padded to 4
+    fus = np.asarray(res['fusion_gazes'])
+    np.testing.assert_allclose(fus[:, 0], np.arange(13), atol=1e-4)
