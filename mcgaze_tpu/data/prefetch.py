@@ -106,10 +106,24 @@ class BatchPrefetcher:
 
 
 def device_put_batches(batches: Iterator[dict], sharding) -> BatchPrefetcher:
-    """Prefetch + shard batches onto the mesh (train-loop entry)."""
+    """Prefetch + shard batches onto the mesh (train-loop entry).
+
+    Multi-process runs (jax.process_count() > 1): each host's iterator
+    yields its LOCAL rows (global_batch / process_count) and the global
+    sharded array is assembled via jax.make_array_from_process_local_data
+    — the pjit analogue of the reference's per-rank DistributedSampler
+    batches feeding DDP (mmdet/datasets/builder.py + apis/train.py:113).
+    """
     import jax
 
+    multiprocess = jax.process_count() > 1
+
     def put(batch):
+        if multiprocess:
+            import numpy as np
+            return {k: jax.make_array_from_process_local_data(
+                        sharding, np.asarray(v))
+                    for k, v in batch.items()}
         return {k: jax.device_put(v, sharding) for k, v in batch.items()}
 
     return BatchPrefetcher(batches, put)

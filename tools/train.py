@@ -27,6 +27,9 @@ def parse_args():
     p.add_argument('--auto-resume', action='store_true')
     p.add_argument('--synthetic', action='store_true',
                    help='random batches instead of the dataset (smoke)')
+    p.add_argument('--mesh', default=None, metavar='D,M',
+                   help='device mesh as data,model axis sizes (e.g. 4,2); '
+                        'default: all visible devices on the data axis')
     p.add_argument('--log-interval', type=int)
     p.add_argument('--cfg-options', nargs='+', default=None,
                    help="config overrides 'a.b=val' (reference DictAction "
@@ -123,15 +126,48 @@ def main():
                   'LR-schedule position restart from 0')
         print(f'resumed from {resume} at step {int(state.step)}')
 
+    # Global batch in the config; each process loads its 1/P local slice
+    # (assembled into global arrays by device_put_batches).
+    n_proc = jax.process_count()
+    if n_proc > 1:
+        global_b = cfg.data_train.batch_size
+        if global_b % n_proc:
+            raise SystemExit(f'batch_size {global_b} not divisible by '
+                             f'{n_proc} processes')
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, data_train=_dc.replace(
+            cfg.data_train, batch_size=global_b // n_proc))
+
+    # per-process streams differ by seed offset (infinite shuffled stream
+    # analogue of the reference's rank-aware InfiniteGroupBatchSampler)
     if args.synthetic:
-        batches = synthetic_batches(cfg, args.seed)
+        batches = synthetic_batches(cfg, args.seed + jax.process_index())
     else:
         ds = Gaze360ClipDataset(cfg.data_train, seed=args.seed)
         print(f'dataset: {len(ds)} annotated frames')
-        batches = ds.batches(seed=args.seed)
+        batches = ds.batches(seed=args.seed + jax.process_index())
 
-    mesh = make_mesh(n_model=1)
+    if args.mesh:
+        n_data, n_model = (int(x) for x in args.mesh.split(','))
+        mesh = make_mesh(n_data=n_data, n_model=n_model)
+    else:
+        mesh = make_mesh(n_model=1)
+    print(f'mesh: data={mesh.shape["data"]} model={mesh.shape["model"]} '
+          f'over {len(mesh.devices.ravel())} devices, {n_proc} processes')
     bs = batch_sharding(mesh)
+    # Place params under the TP rules (replicated when model axis is 1),
+    # optimizer state and stats replicated — same layout as
+    # __graft_entry__.dryrun_multichip.
+    from mcgaze_tpu.parallel.mesh import param_shardings, replicated
+    state = state.replace(
+        params=jax.device_put(state.params,
+                              param_shardings(mesh, state.params)),
+        stats=jax.device_put(state.stats, replicated(mesh)),
+        opt_state=jax.device_put(state.opt_state, replicated(mesh)),
+        step=jax.device_put(state.step, replicated(mesh)),
+        ema_params=(jax.device_put(state.ema_params, replicated(mesh))
+                    if state.ema_params is not None else None),
+    )
     step_fn = make_train_step(cfg.model, cfg.optim)
     sched = step_warmup_schedule(cfg.optim)
 
