@@ -52,6 +52,11 @@ class ModelConfig:
     # kernel (ops/stqi_attention.py). Param tree is unchanged, so the flag
     # can flip on a loaded checkpoint.
     fused_attention: bool = False
+    # RoIAlign implementation: 'mm' (one-hot XLA matmuls), 'pallas'
+    # (fused per-frame VMEM kernel, ops/roi_align_pallas.py — measured
+    # faster on TPU), or 'auto' (pallas on TPU, mm elsewhere). All three
+    # are numerically interchangeable (tests/test_roi_align.py).
+    roi_impl: str = 'auto'
     # loss weights (configs/multiclue_gaze/multiclue_gaze_r50_gaze360.py)
     loss_cls_weight: float = 2.0
     loss_bbox_weight: float = 5.0
@@ -113,10 +118,20 @@ class MCGazeModel(nn.Module):
             # The reference feeds *detached* boxes forward between stages
             # (detach_proposal_list, multiclue_gaze_roi_head.py:134).
             rois = jax.lax.stop_gradient(boxes)
-            roi_feat = roi_align_fpn_mm(
-                feats, rois.astype(jnp.float32), out_size=cfg.roi_size,
-                sampling_ratio=cfg.sampling_ratio, strides=cfg.strides,
-                finest_scale=cfg.finest_scale)
+            impl = cfg.roi_impl
+            if impl == 'auto':
+                impl = ('pallas' if jax.default_backend() == 'tpu'
+                        else 'mm')
+            if impl == 'pallas':
+                from ..ops.roi_align_pallas import roi_align_fpn_pallas_diff
+                roi_feat = roi_align_fpn_pallas_diff(
+                    feats, rois.astype(jnp.float32), cfg.roi_size,
+                    cfg.sampling_ratio, cfg.strides, cfg.finest_scale)
+            else:
+                roi_feat = roi_align_fpn_mm(
+                    feats, rois.astype(jnp.float32), out_size=cfg.roi_size,
+                    sampling_ratio=cfg.sampling_ratio, strides=cfg.strides,
+                    finest_scale=cfg.finest_scale)
             roi_feat = roi_feat.reshape(n * q, cfg.roi_size, cfg.roi_size,
                                         cfg.channels)
             cls_logits, deltas, obj = STQIHead(
@@ -147,5 +162,7 @@ def init_model(cfg: ModelConfig, rng: jax.Array, image_size=(224, 224)):
     imgs = jnp.zeros((cfg.clip_length, h, w, 3), jnp.float32)
     whwh = jnp.tile(jnp.asarray([[w, h, w, h]], jnp.float32),
                     (cfg.clip_length, 1))
-    variables = model.init(rng, imgs, whwh)
+    # jitted init: one cacheable XLA program instead of hundreds of
+    # op-by-op dispatches (~6x faster with a warm persistent cache)
+    variables = jax.jit(model.init)(rng, imgs, whwh)
     return model, variables

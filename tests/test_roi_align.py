@@ -146,3 +146,62 @@ def test_mm_grads_flow():
 
     g = jax.grad(f)(feats[0])
     assert np.abs(np.asarray(g)).sum() > 0
+
+
+@pytest.mark.parametrize('seed', [0, 1])
+def test_pallas_kernel_matches_mm(seed):
+    """The fused pallas TPU kernel (interpret mode on CPU) against the
+    one-hot-matmul formulation on mixed-level random RoIs. On a real
+    chip the two were measured bit-identical (NOTES.md round 2)."""
+    from mcgaze_tpu.ops.roi_align import roi_align_fpn_mm
+    from mcgaze_tpu.ops.roi_align_pallas import roi_align_fpn_pallas
+    rng = np.random.RandomState(seed)
+    feats = make_pyramid(rng, n=2, c=8, base=32)
+    rois = np.zeros((2, 3, 4), np.float32)
+    sizes = np.array([25, 90, 300], np.float32)
+    for n in range(2):
+        for r, s in enumerate(sizes):
+            x1 = rng.uniform(-10, 100)
+            y1 = rng.uniform(-10, 100)
+            rois[n, r] = [x1, y1, x1 + s * rng.uniform(0.5, 1.5), y1 + s]
+    a = np.asarray(roi_align_fpn_mm(feats, rois))
+    b = np.asarray(roi_align_fpn_pallas(feats, rois, interpret=True))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_diff_wrapper_grads_match_mm():
+    """roi_align_fpn_pallas_diff: forward = pallas kernel, backward = the
+    exact mm-formulation transpose. Gradients w.r.t. feats must match the
+    mm path's (RoIAlign is linear in feats)."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from mcgaze_tpu.ops.roi_align import roi_align_fpn_mm
+    from mcgaze_tpu.ops.roi_align_pallas import (roi_align_fpn_pallas,
+                                                 roi_align_fpn_pallas_diff)
+    rng = np.random.RandomState(0)
+    feats = make_pyramid(rng, n=1, c=8, base=32)
+    rois = jnp.asarray([[[4., 4., 20., 22.], [2., 3., 28., 30.],
+                         [0., 0., 31., 31.]]])
+
+    # interpret-mode forward for the CPU test
+    fwd_interp = partial(roi_align_fpn_pallas, interpret=True)
+    import mcgaze_tpu.ops.roi_align_pallas as m
+    orig = m.roi_align_fpn_pallas
+    m.roi_align_fpn_pallas = fwd_interp
+    try:
+        def f(f0):
+            return (roi_align_fpn_pallas_diff((f0,) + feats[1:],
+                                              rois) ** 2).sum()
+
+        g = jax.grad(f)(feats[0])
+    finally:
+        m.roi_align_fpn_pallas = orig
+
+    def f_mm(f0):
+        return (roi_align_fpn_mm((f0,) + feats[1:], rois) ** 2).sum()
+
+    g_ref = jax.grad(f_mm)(feats[0])
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-5)
