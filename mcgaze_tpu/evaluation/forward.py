@@ -1,0 +1,65 @@
+"""Jitted eval forward shared by the test CLIs and the in-training
+validation hook.
+
+The reference builds its eval model once via `init_detector`
+(mmdet/apis/inference.py:30-57) and calls
+`model(return_loss=False, rescale=True)`; here the analogue is a single
+jitted function over (variables, imgs, whwh) so the SAME compiled
+computation can be driven either with a restored checkpoint (tools/test*)
+or with the live training params (ValidationHook).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+
+def make_eval_forward(model_cfg, canvas=(224, 224)):
+    """Returns (model, variables, fwd) where
+    fwd(variables, imgs (N,H,W,3) f32|u8, whwh (N,4), t) ->
+        (boxes (N,3,4), scores (N,3), gazes dict name->(N,3))."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.mcgaze import init_model
+
+    model, variables = init_model(model_cfg, jax.random.PRNGKey(0),
+                                  image_size=canvas)
+
+    @partial(jax.jit, static_argnames=('t',))
+    def fwd(variables, imgs, whwh, t):
+        if imgs.dtype == jnp.uint8:
+            # raw frames shipped as uint8 (4x less H2D traffic); ImageNet
+            # normalization + the pad-region zeroing (the reference pads
+            # AFTER normalize, so pad must be 0 in normalized space, not
+            # a normalized black pixel) both fuse on-device
+            from ..data.transforms import IMAGENET_MEAN, IMAGENET_STD
+            imgs = (imgs.astype(jnp.float32) -
+                    jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+            hh, ww = imgs.shape[1], imgs.shape[2]
+            xx = jnp.arange(ww)[None, None, :]
+            yy = jnp.arange(hh)[None, :, None]
+            valid = ((xx < whwh[:, 0, None, None]) &
+                     (yy < whwh[:, 1, None, None]))
+            imgs = imgs * valid[..., None]
+        out = model.apply(variables, imgs, whwh, clip_length=t)
+        last = out['stages'][-1]
+        return (last['boxes'], jax.nn.sigmoid(last['cls_logits'])[..., 0],
+                last['gaze'])
+
+    return model, variables, fwd
+
+
+def bind_forward(fwd, variables):
+    """Close fwd over a fixed variables pytree, numpy in/out (the
+    VideoGazeEvaluator forward_fn signature)."""
+    import jax.numpy as jnp
+
+    def forward(imgs, whwh, t):
+        boxes, scores, gaze = fwd(variables, jnp.asarray(imgs),
+                                  jnp.asarray(whwh), t)
+        return (np.asarray(boxes), np.asarray(scores),
+                {k: np.asarray(v) for k, v in gaze.items()})
+
+    return forward

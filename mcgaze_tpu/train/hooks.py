@@ -44,6 +44,64 @@ class CheckInvalidLoss:
             print('WARNING:', msg)
 
 
+class ValidationHook:
+    """EvalHook analogue: run the video eval driver on the val set every
+    `interval` iterations with the LIVE training params and log MAE.
+
+    The reference carries this machinery but ships it disabled
+    (tools/train.py:36-38 `--no-validate` defaults True; EvalHook registered
+    in apis/train.py:173-186 only when validate=True) — same here: built
+    only when tools/train.py is given --validate.
+    """
+
+    def __init__(self, cfg, json_path: str, img_root: str,
+                 interval: int = 1000, max_videos: int = 0,
+                 l2cs: bool = False, work_dir: Optional[str] = None):
+        from ..evaluation.driver import VideoGazeEvaluator
+        from ..evaluation.forward import bind_forward, make_eval_forward
+
+        self.interval = interval
+        self.l2cs = l2cs
+        self.path = (osp.join(work_dir, 'val_log.jsonl')
+                     if work_dir else None)
+        self.anno = json.load(open(json_path))
+        videos = self.anno['videos']
+        self.videos = videos[:max_videos] if max_videos else videos
+        self.img_root = img_root
+        _model, _vars, self._fwd = make_eval_forward(cfg.model,
+                                                     cfg.eval_cfg.canvas)
+        self._bind = bind_forward
+        self._make_eval = lambda fn: VideoGazeEvaluator(fn, cfg.eval_cfg)
+
+    def evaluate(self, variables) -> Dict[str, float]:
+        from ..evaluation.mae import evaluate_results
+        evaluator = self._make_eval(self._bind(self._fwd, variables))
+        results = []
+        for video in self.videos:
+            paths = [osp.join(self.img_root, n)
+                     for n in video['file_names']]
+            results.append(evaluator.run_video_from_paths(paths,
+                                                          video['id']))
+        return evaluate_results(results, self.anno, l2cs=self.l2cs)
+
+    def after_iter(self, step: int, state) -> Optional[Dict[str, float]]:
+        if step % self.interval:
+            return None
+        t0 = time.time()
+        metrics = self.evaluate({'params': state.params,
+                                 'stats': state.stats})
+        dt = time.time() - t0
+        parts = ', '.join(f'{k}: {v:.4f}' for k, v in metrics.items())
+        print(f'Validation [iter {step}] ({len(self.videos)} videos, '
+              f'{dt:.1f}s): {parts}')
+        if self.path:
+            with open(self.path, 'a') as f:
+                f.write(json.dumps(dict(step=step, **{
+                    k: round(float(v), 4) for k, v in metrics.items()}))
+                    + '\n')
+        return metrics
+
+
 class TextLogger:
     """mmcv TextLoggerHook-style console + jsonl logging:
     Iter [i/max], lr, eta, time, data_time, per-loss values."""

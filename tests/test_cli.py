@@ -20,7 +20,8 @@ TINY_CFG = textwrap.dedent("""
     from mcgaze_tpu.models.mcgaze import ModelConfig
     from mcgaze_tpu.train.loop import OptimConfig
 
-    model = ModelConfig(clip_length=7)
+    model = ModelConfig(clip_length=7, backbone_depth=26, num_stages=2,
+                        stage_loss_weights=(1.0, 1.0), ffn_channels=256)
     optim = OptimConfig(max_iters=2, warmup_iters=1)
     data_train = DataConfig(ann_file={ann!r}, img_prefix={prefix!r},
                             scale=(32, 32), canvas=(32, 32),
@@ -53,6 +54,7 @@ def workspace(tmp_path_factory):
                 work_dir=work_dir)
 
 
+@pytest.mark.slow
 def test_train_eval_mae_cli(workspace):
     ws = workspace
     # 1) train 2 synthetic iters, save a checkpoint
@@ -74,10 +76,16 @@ def test_train_eval_mae_cli(workspace):
     assert 'resumed from' in r.stdout and 'at step 2' in r.stdout
     assert 'ckpt_3' in r.stdout
 
-    # 2) train again on the REAL synthetic dataset for 1 iter (data path)
+    # 2) train again on the REAL synthetic dataset for 1 iter (data path),
+    # with in-training validation (reference EvalHook analogue)
     r = run(['tools/train.py', ws['cfg'], '--max-iters', '1',
-             '--work-dir', osp.join(ws['root'], 'work2')])
+             '--work-dir', osp.join(ws['root'], 'work2'),
+             '--validate', '--val-interval', '1', '--val-max-videos', '1'])
     assert r.returncode == 0, r.stderr[-3000:]
+    assert 'Validation [iter 1]' in r.stdout
+    val_log = osp.join(ws['root'], 'work2', 'val_log.jsonl')
+    val_line = json.loads(open(val_log).readline())
+    assert val_line['step'] == 1 and 'MAE-Front180' in val_line
 
     # 3) eval from the checkpoint through the test tool
     ckpt = osp.join(ws['work_dir'], sorted(ckpts)[-1])

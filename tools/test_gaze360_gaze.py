@@ -16,8 +16,6 @@ sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 from mcgaze_tpu.utils.env import setup_jax_platform  # noqa: E402
 
-import numpy as np
-
 
 def parse_args():
     p = argparse.ArgumentParser()
@@ -39,17 +37,13 @@ def parse_args():
 def build_forward(cfg, checkpoint, dtype=None):
     import dataclasses
 
-    import jax
-    import jax.numpy as jnp
-
-    from mcgaze_tpu.models.mcgaze import init_model
+    from mcgaze_tpu.evaluation.forward import bind_forward, make_eval_forward
     from mcgaze_tpu.utils.checkpoint import restore_checkpoint
 
     model_cfg = cfg.model
     if dtype:
         model_cfg = dataclasses.replace(model_cfg, dtype=dtype)
-    model, variables = init_model(model_cfg, jax.random.PRNGKey(0),
-                                  image_size=cfg.eval_cfg.canvas)
+    _model, variables, fwd = make_eval_forward(model_cfg, cfg.eval_cfg.canvas)
     if checkpoint:
         if checkpoint.endswith(('.pth', '.pt')):
             from mcgaze_tpu.utils.torch_convert import convert_torch_checkpoint
@@ -61,37 +55,7 @@ def build_forward(cfg, checkpoint, dtype=None):
             variables = {'params': restored['params'],
                          'stats': restored['stats']}
 
-    from functools import partial
-
-    @partial(jax.jit, static_argnames=('t',))
-    def fwd(variables, imgs, whwh, t):
-        if imgs.dtype == jnp.uint8:
-            # raw frames shipped as uint8 (4x less H2D traffic); ImageNet
-            # normalization + the pad-region zeroing (the reference pads
-            # AFTER normalize, so pad must be 0 in normalized space, not
-            # a normalized black pixel) both fuse on-device
-            from mcgaze_tpu.data.transforms import (IMAGENET_MEAN,
-                                                    IMAGENET_STD)
-            imgs = (imgs.astype(jnp.float32) -
-                    jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
-            hh, ww = imgs.shape[1], imgs.shape[2]
-            xx = jnp.arange(ww)[None, None, :]
-            yy = jnp.arange(hh)[None, :, None]
-            valid = ((xx < whwh[:, 0, None, None]) &
-                     (yy < whwh[:, 1, None, None]))
-            imgs = imgs * valid[..., None]
-        out = model.apply(variables, imgs, whwh, clip_length=t)
-        last = out['stages'][-1]
-        return (last['boxes'], jax.nn.sigmoid(last['cls_logits'])[..., 0],
-                last['gaze'])
-
-    def forward(imgs, whwh, t):
-        boxes, scores, gaze = fwd(variables, jnp.asarray(imgs),
-                                  jnp.asarray(whwh), t)
-        return (np.asarray(boxes), np.asarray(scores),
-                {k: np.asarray(v) for k, v in gaze.items()})
-
-    return forward
+    return bind_forward(fwd, variables)
 
 
 def main():

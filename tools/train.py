@@ -27,6 +27,18 @@ def parse_args():
     p.add_argument('--auto-resume', action='store_true')
     p.add_argument('--synthetic', action='store_true',
                    help='random batches instead of the dataset (smoke)')
+    p.add_argument('--validate', action='store_true',
+                   help='run val MAE every --val-interval iters (reference '
+                        'EvalHook, which ships disabled: --no-validate '
+                        'defaults True there)')
+    p.add_argument('--val-interval', type=int, default=None,
+                   help='default: checkpoint interval')
+    p.add_argument('--val-json', default=None,
+                   help='val COCO-VID JSON (default: test annotation from '
+                        'the config)')
+    p.add_argument('--val-root', default=None,
+                   help='val rawframes root (default: from the config)')
+    p.add_argument('--val-max-videos', type=int, default=0)
     p.add_argument('--mesh', default=None, metavar='D,M',
                    help='device mesh as data,model axis sizes (e.g. 4,2); '
                         'default: all visible devices on the data axis')
@@ -176,6 +188,20 @@ def main():
     from mcgaze_tpu.data.prefetch import device_put_batches
     batches = device_put_batches(batches, bs)
 
+    val_hook = None
+    if args.validate:
+        if n_proc > 1:
+            print('warning: --validate is single-process only '
+                  '(params would need a cross-host gather); skipping')
+        else:
+            from mcgaze_tpu.train.hooks import ValidationHook
+            val_hook = ValidationHook(
+                cfg,
+                args.val_json or cfg.data_test.ann_file,
+                args.val_root or cfg.data_test.img_prefix,
+                interval=args.val_interval or cfg.checkpoint_interval,
+                max_videos=args.val_max_videos, work_dir=work_dir)
+
     logger = TextLogger(work_dir, max_iters, log_interval)
     nan_guard = CheckInvalidLoss(interval=log_interval)
     timer = IterTimer()
@@ -202,6 +228,8 @@ def main():
             path = save_checkpoint(work_dir, it + 1, _model_tree(state),
                                    train_tree=_train_tree(state))
             print(f'saved {path}')
+        if val_hook is not None:
+            val_hook.after_iter(it + 1, state)
     if prof_on:
         import jax.profiler
         jax.profiler.stop_trace()
