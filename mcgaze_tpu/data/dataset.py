@@ -64,6 +64,7 @@ class Gaze360ClipDataset:
         # (vid_id, frame) pairs for frames with >=1 GT box
         self.index = []
         self.video_frames = {}  # vid_id -> sorted annotated frame list
+        self.video_frame_sets = {}  # vid_id -> frozenset of the same
         for vid_id in self.api.get_vid_ids():
             anns = self.api.anns_of_video(vid_id)
             if anns and 'bboxes' not in anns[0]:
@@ -79,6 +80,7 @@ class Gaze360ClipDataset:
             frames = [f for f in range(length)
                       if any(a['bboxes'][f] is not None for a in anns)]
             self.video_frames[vid_id] = frames
+            self.video_frame_sets[vid_id] = frozenset(frames)
             self.index.extend((vid_id, f) for f in frames)
 
     def __len__(self):
@@ -105,12 +107,13 @@ class Gaze360ClipDataset:
         """7-frame window over annotated frames, first/last-padded."""
         t = self.cfg.clip_length
         frames = self.video_frames[vid_id]
+        fset = self.video_frame_sets[vid_id]
         half = t // 2
         pre = [frame - i for i in range(1, half + 1)
-               if frame - i >= frames[0] and (frame - i) in frames]
+               if frame - i >= frames[0] and (frame - i) in fset]
         pre += [frames[0]] * (half - len(pre))
         post = [frame + i for i in range(1, half + 1)
-                if frame + i <= frames[-1] and (frame + i) in frames]
+                if frame + i <= frames[-1] and (frame + i) in fset]
         post += [frames[-1]] * (half - len(post))
         return sorted(pre + [frame] + post)
 

@@ -315,7 +315,8 @@ class HeadDetector:
 def init_yolo(cfg: YoloConfig, rng):
     model = YoloV5(cfg)
     x = jnp.zeros((1, cfg.img_size, cfg.img_size, 3), jnp.float32)
-    return model, model.init(rng, x)
+    import jax
+    return model, jax.jit(model.init)(rng, x)
 
 
 # ---------------------------------------------------------------- converter

@@ -7,13 +7,25 @@ Notes (learned the hard way, see .claude/skills/verify/SKILL.md):
     'highest'.
 """
 import os
+import os.path as osp
 
 flags = os.environ.get('XLA_FLAGS', '')
 if 'xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (
         flags + ' --xla_force_host_platform_device_count=8').strip()
 
+# Persistent XLA compilation cache, shared by this process AND every
+# CLI subprocess the tests spawn (they inherit the env var): the train
+# CLI chain alone compiles the same train step 3x in fresh processes,
+# and repeat `pytest` runs skip all big compiles entirely.
+_CACHE = osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))),
+                  '.cache', 'jax')
+os.makedirs(_CACHE, exist_ok=True)
+os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', _CACHE)
+
 import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_default_matmul_precision', 'highest')
+jax.config.update('jax_compilation_cache_dir',
+                  os.environ['JAX_COMPILATION_CACHE_DIR'])

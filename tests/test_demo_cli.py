@@ -69,7 +69,9 @@ def test_demo_pipeline_end_to_end(tmp_path):
         from mcgaze_tpu.evaluation.driver import EvalConfig
         from mcgaze_tpu.models.mcgaze import ModelConfig
         from mcgaze_tpu.train.loop import OptimConfig
-        model = ModelConfig()
+        model = ModelConfig(backbone_depth=26, num_stages=2,
+                            stage_loss_weights=(1.0, 1.0),
+                            ffn_channels=256)
         optim = OptimConfig()
         data_train = DataConfig(scale=(32, 32), canvas=(32, 32))
         data_test = data_train

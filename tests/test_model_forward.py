@@ -75,11 +75,16 @@ def test_mha_matches_torch():
                                atol=1e-5)
 
 
-def test_gradients_reach_all_stages(tiny_model):
-    cfg, model, variables = tiny_model
+def test_gradients_reach_all_stages():
+    # R26 backbone: the "every stage head gets gradient" property doesn't
+    # depend on backbone depth, and the full-R50 grad compile is ~45s of
+    # suite wall time on this 1-core box
+    cfg = ModelConfig(clip_length=7, backbone_depth=26)
+    model, variables = init_model(cfg, jax.random.PRNGKey(0),
+                                  image_size=(32, 32))
     n = cfg.clip_length
-    imgs = jax.random.normal(jax.random.PRNGKey(3), (n, 64, 64, 3))
-    whwh = jnp.tile(jnp.asarray([[64., 64., 64., 64.]]), (n, 1))
+    imgs = jax.random.normal(jax.random.PRNGKey(3), (n, 32, 32, 3))
+    whwh = jnp.tile(jnp.asarray([[32., 32., 32., 32.]]), (n, 1))
 
     def loss_fn(params):
         out = model.apply({'params': params, 'stats': variables['stats']},

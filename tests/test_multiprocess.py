@@ -97,7 +97,8 @@ TRAIN_CFG = textwrap.dedent("""
     from mcgaze_tpu.train.loop import OptimConfig
 
     model = ModelConfig(clip_length=7, num_stages=2,
-                        stage_loss_weights=(1.0, 1.0), backbone_depth=26)
+                        stage_loss_weights=(1.0, 1.0), backbone_depth=26,
+                        ffn_channels=256)
     optim = OptimConfig(max_iters=2, warmup_iters=1)
     data_train = DataConfig(scale=(32, 32), canvas=(32, 32),
                             batch_size=4)
@@ -108,6 +109,7 @@ TRAIN_CFG = textwrap.dedent("""
 """)
 
 
+@pytest.mark.slow
 def test_train_cli_mesh_flag_on_virtual_mesh(tmp_path):
     """tools/train.py --mesh 4,2 completes N iters on the 8-device CPU
     mesh (VERDICT round-1: the TP rules were unreachable from the CLI)."""
@@ -124,6 +126,7 @@ def test_train_cli_mesh_flag_on_virtual_mesh(tmp_path):
     assert 'Iter [2/2]' in r.stdout or 'loss' in r.stdout, r.stdout
 
 
+@pytest.mark.slow
 def test_train_cli_two_processes(tmp_path):
     """Full multi-host training path: 2 OS processes x 4 CPU devices form
     one 8-device data mesh; each host loads half the global batch and

@@ -16,7 +16,11 @@ IMG = 32
 
 
 def tiny_cfg():
-    return ModelConfig(clip_length=7)
+    # R26 + 2 stages + slim FFN: the loss/freeze/mask semantics under test
+    # are depth-independent, and the full-R50 4-stage train-step compile
+    # dominated suite wall time (~78s on this 1-core box)
+    return ModelConfig(clip_length=7, backbone_depth=26, num_stages=2,
+                       stage_loss_weights=(1.0, 1.0), ffn_channels=256)
 
 
 def make_batch(rng, b=2, t=7, img=IMG):
@@ -101,7 +105,8 @@ def test_sharded_step_matches_unsharded():
     from mcgaze_tpu.parallel.mesh import param_shardings, replicated
 
     cfg = ModelConfig(clip_length=7, num_stages=2,
-                      stage_loss_weights=(1.0, 1.0), backbone_depth=26)
+                      stage_loss_weights=(1.0, 1.0), backbone_depth=26,
+                      ffn_channels=256)
     oc = OptimConfig()
     state0 = create_train_state(cfg, oc, jax.random.PRNGKey(0),
                                 image_size=(IMG, IMG))

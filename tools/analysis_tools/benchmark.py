@@ -36,7 +36,18 @@ def main():
     ap.add_argument('--synthetic', action='store_true',
                     help='random frames instead of the dataset')
     ap.add_argument('--dtype', default=None)
+    ap.add_argument('--e2e', action='store_true',
+                    help='measure the FULL eval path per video '
+                         '(decode -> preprocess -> H2D -> forward -> '
+                         'stitch) over fabricated rawframe videos when '
+                         'the dataset is absent')
+    ap.add_argument('--e2e-videos', type=int, default=8)
+    ap.add_argument('--e2e-frames', type=int, default=56,
+                    help='frames per fabricated video')
     args = ap.parse_args()
+
+    if args.e2e:
+        return bench_e2e(args)
 
     import jax
 
@@ -89,6 +100,66 @@ def main():
           f'({fps / t:.1f} clips/s, batch {args.batch} clips, '
           f'{dt / args.iters * 1e3:.1f} ms/forward, '
           f'device {jax.devices()[0].platform})')
+
+
+def bench_e2e(args):
+    """End-to-end eval-path throughput: per-video decode (C++ pool or
+    cv2) -> preprocess -> H2D -> batched clip forward -> overlap
+    stitching, exactly the tools/test_gaze360_gaze.py flow. Uses real
+    rawframes when --json/--root exist, else fabricates mp4-free PNG
+    videos on disk (reference benchmark.py measures over a dataloader
+    the same way)."""
+    import json as _json
+    import os
+    import os.path as osp
+    import tempfile
+    import time
+
+    import cv2
+    import dataclasses
+
+    from mcgaze_tpu.evaluation.driver import VideoGazeEvaluator
+    from mcgaze_tpu.utils.config import load_config
+    from tools.test_gaze360_gaze import build_forward
+
+    cfg = load_config(args.config)
+    eval_cfg = dataclasses.replace(cfg.eval_cfg, clip_batch=args.batch)
+    evaluator = VideoGazeEvaluator(
+        build_forward(cfg, args.checkpoint, args.dtype), eval_cfg)
+
+    if osp.exists(args.json):
+        anno = _json.load(open(args.json))
+        videos = [(v['id'],
+                   [osp.join(args.root, n) for n in v['file_names']])
+                  for v in anno['videos'][:args.e2e_videos]]
+    else:
+        print(f'[benchmark] {args.json} not found -> fabricated videos')
+        rng = np.random.RandomState(0)
+        root = tempfile.mkdtemp(prefix='bench_e2e_')
+        videos = []
+        for vid in range(args.e2e_videos):
+            d = osp.join(root, f'{vid:03d}')
+            os.makedirs(d)
+            paths = []
+            for f in range(args.e2e_frames):
+                p = osp.join(d, f'{f:05d}.png')
+                cv2.imwrite(p, rng.randint(0, 255, (480, 640, 3),
+                                           np.uint8))
+                paths.append(p)
+            videos.append((vid, paths))
+
+    # warmup: compile every clip-batch shape on the first video
+    evaluator.run_video_from_paths(videos[0][1], videos[0][0])
+    t0 = time.perf_counter()
+    frames = 0
+    for vid, paths in videos:
+        evaluator.run_video_from_paths(paths, vid)
+        frames += len(paths)
+    dt = time.perf_counter() - t0
+    t = cfg.model.clip_length
+    print(f'E2E eval path: {frames / dt:.1f} frames/s '
+          f'({frames / dt / t:.1f} clips/s equivalent, {len(videos)} '
+          f'videos, {frames} frames, {dt:.2f}s total)')
 
 
 if __name__ == '__main__':
