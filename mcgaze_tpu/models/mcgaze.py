@@ -57,6 +57,13 @@ class ModelConfig:
     # faster on TPU), or 'auto' (pallas on TPU, mm elsewhere). All three
     # are numerically interchangeable (tests/test_roi_align.py).
     roi_impl: str = 'auto'
+    # Backbone stride-1 bottleneck chains: 'fused' runs them through the
+    # pallas chain kernel (ops/fused_bottleneck.py), 'plain' keeps XLA
+    # convs. Same param tree and numerics (tests/test_fused_bottleneck.py),
+    # but MEASURED SLOWER than XLA's convs at R50 shapes (7.4 vs 6.8 ms on
+    # layer1 at the eval batch: the 64-wide ops pad to 128 MXU lanes both
+    # ways) — kept opt-in, same discipline as ops/stqi_attention.py.
+    backbone_impl: str = 'plain'
     # loss weights (configs/multiclue_gaze/multiclue_gaze_r50_gaze360.py)
     loss_cls_weight: float = 2.0
     loss_bbox_weight: float = 5.0
@@ -94,6 +101,7 @@ class MCGazeModel(nn.Module):
         q = cfg.num_queries
 
         feats = ResNet(cfg.backbone_depth, dtype=dtype,
+                       fused_blocks=cfg.backbone_impl == 'fused',
                        name='backbone')(imgs.astype(dtype))
         feats = FPN(cfg.channels, len(cfg.strides), dtype=dtype,
                     name='neck')(feats)

@@ -18,6 +18,7 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 # depth -> (block counts per stage)
@@ -50,9 +51,25 @@ class FrozenBatchNorm(nn.Module):
         var = self.variable('stats', 'var',
                             lambda: jnp.ones(self.features, jnp.float32))
         inv = scale * jax.lax.rsqrt(var.value + self.eps)
+        if x is None:
+            # folded-affine access (w, b) in f32 for the fused-bottleneck
+            # path; declares the same params/stats as the normal path
+            return inv, bias - mean.value * inv
         w = inv.astype(self.dtype)
         b = (bias - mean.value * inv).astype(self.dtype)
         return x * w + b
+
+
+class _Kernel(nn.Module):
+    """Param-twin of nn.Conv: declares the identically named/shaped/
+    initialised 'kernel' so the fused-bottleneck path produces the same
+    parameter tree as the compute path (checkpoints interchange freely)."""
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param('kernel', nn.initializers.lecun_normal(),
+                          self.shape)
 
 
 class Bottleneck(nn.Module):
@@ -63,7 +80,9 @@ class Bottleneck(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, collect: bool = False):
+        if collect:
+            return self._collect(x)
         out_ch = self.mid * self.expansion
         identity = x
         y = nn.Conv(self.mid, (1, 1), use_bias=False, dtype=self.dtype,
@@ -87,12 +106,48 @@ class Bottleneck(nn.Module):
                                        name='downsample_bn')(identity)
         return nn.relu(y + identity)
 
+    def _collect(self, x):
+        """Declare this block's params (same tree as the compute path)
+        and return (conv kernel, folded-BN (w, b)) pairs for
+        ops/fused_bottleneck.py. Only valid for stride-1 blocks."""
+        assert self.stride == 1, 'fused chains are stride-1 only'
+        out_ch = self.mid * self.expansion
+        cin = x.shape[-1]
+        args = [
+            _Kernel((1, 1, cin, self.mid), name='conv1')(),
+            FrozenBatchNorm(self.mid, dtype=self.dtype, name='bn1')(None),
+            _Kernel((3, 3, self.mid, self.mid), name='conv2')(),
+            FrozenBatchNorm(self.mid, dtype=self.dtype, name='bn2')(None),
+            _Kernel((1, 1, self.mid, out_ch), name='conv3')(),
+            FrozenBatchNorm(out_ch, dtype=self.dtype, name='bn3')(None),
+        ]
+        if cin != out_ch:
+            args += [
+                _Kernel((1, 1, cin, out_ch), name='downsample_conv')(),
+                FrozenBatchNorm(out_ch, dtype=self.dtype,
+                                name='downsample_bn')(None),
+            ]
+        return args
+
+
+# Per-pallas-call folded-weight budget: layer4's per-block ~9 MB of bf16
+# weights must stay under VMEM (~16 MB) alongside double-buffered
+# activations, so chains are split greedily at this limit.
+_FUSED_WEIGHT_BUDGET = 10 * 2 ** 20
+
 
 class ResNet(nn.Module):
-    """4-stage ResNet, returns the (C2, C3, C4, C5) pyramid (strides 4..32)."""
+    """4-stage ResNet, returns the (C2, C3, C4, C5) pyramid (strides 4..32).
+
+    fused_blocks=True runs each stage's stride-1 bottlenecks through the
+    fused pallas chain (ops/fused_bottleneck.py) — same parameter tree,
+    same numerics, ~2x on TPU where XLA's per-conv materialisation is
+    HBM-bound. Stride-2 lead-in blocks stay on the XLA path.
+    """
     depth: int = 50
     out_indices: Sequence[int] = (0, 1, 2, 3)
     dtype: jnp.dtype = jnp.float32
+    fused_blocks: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -109,11 +164,48 @@ class ResNet(nn.Module):
         mid = 64
         for stage, n_blocks in enumerate(blocks):
             stride = 1 if stage == 0 else 2
-            for i in range(n_blocks):
-                x = Bottleneck(mid, stride=stride if i == 0 else 1,
-                               dtype=self.dtype,
-                               name=f'layer{stage + 1}_{i}')(x)
+            start = 0
+            if stride != 1:
+                # stride-2 lead-in block on the XLA path
+                x = Bottleneck(mid, stride=stride, dtype=self.dtype,
+                               name=f'layer{stage + 1}_0')(x)
+                start = 1
+            if self.fused_blocks:
+                x = self._fused_chain(x, stage, mid, range(start, n_blocks))
+            else:
+                for i in range(start, n_blocks):
+                    x = Bottleneck(mid, stride=1, dtype=self.dtype,
+                                   name=f'layer{stage + 1}_{i}')(x)
             if stage in self.out_indices:
                 outs.append(x)
             mid *= 2
         return tuple(outs)
+
+    def _fused_chain(self, x, stage, mid, block_ids):
+        from ..ops.fused_bottleneck import (fold_block_params,
+                                            fused_bottleneck_chain_diff)
+        n, h, w, c = x.shape
+        groups, cur, cur_bytes = [], [], 0
+        cin = c
+        for i in block_ids:
+            # collect only reads the channel count; block inputs widen to
+            # mid*4 after the first chained block
+            x_like = jnp.zeros((1, 1, 1, cin), self.dtype)
+            args = Bottleneck(mid, stride=1, dtype=self.dtype,
+                              name=f'layer{stage + 1}_{i}')(x_like,
+                                                            collect=True)
+            cin = mid * 4
+            folded = fold_block_params(*args, dtype=self.dtype)
+            nbytes = sum(int(np.prod(a.shape)) * a.dtype.itemsize
+                         for a in folded)
+            if cur and cur_bytes + nbytes > _FUSED_WEIGHT_BUDGET:
+                groups.append(tuple(cur))
+                cur, cur_bytes = [], 0
+            cur.extend(folded)
+            cur_bytes += nbytes
+        if cur:
+            groups.append(tuple(cur))
+        y = x.reshape(n, h * w, c)
+        for weights in groups:
+            y = fused_bottleneck_chain_diff(y, weights, h, w)
+        return y.reshape(n, h, w, y.shape[-1])

@@ -113,8 +113,11 @@ def _make_kernel(num_rois: int, out_size: int, sampling_ratio: int,
                 axs.append(ax)
             ay_all = jnp.concatenate(ays, axis=0)      # (R*7, H)
             f = feat_refs[li][0]                       # (H, W*C)
+            # f32 MXU accumulation, then cast back to the feature dtype —
+            # exactly the mm formulation's tmp.astype(dtype) semantics
+            # (ops/roi_align.py), and half the relayout traffic below
             t = jnp.dot(ay_all.astype(f.dtype), f,
-                        preferred_element_type=acc_dtype)  # (R*7, W*C)
+                        preferred_element_type=acc_dtype).astype(f.dtype)
             # sublane unflatten (row-major contiguous, Mosaic relayouts
             # it in VMEM): each W-row block is then a static 2D slice
             t = t.reshape(num_rois * out_size * w_l, channels)
@@ -123,7 +126,7 @@ def _make_kernel(num_rois: int, out_size: int, sampling_ratio: int,
                 for i in range(out_size):
                     k = r * out_size + i
                     row = t[k * w_l:(k + 1) * w_l, :]
-                    o = jnp.dot(ax_r, row.astype(f.dtype),
+                    o = jnp.dot(ax_r, row,
                                 preferred_element_type=acc_dtype)
                     acc[k] = o if acc[k] is None else acc[k] + o
         for r in range(num_rois):
