@@ -139,15 +139,17 @@ _FUSED_WEIGHT_BUDGET = 10 * 2 ** 20
 class ResNet(nn.Module):
     """4-stage ResNet, returns the (C2, C3, C4, C5) pyramid (strides 4..32).
 
-    fused_blocks=True runs each stage's stride-1 bottlenecks through the
-    fused pallas chain (ops/fused_bottleneck.py) — same parameter tree,
-    same numerics, ~2x on TPU where XLA's per-conv materialisation is
-    HBM-bound. Stride-2 lead-in blocks stay on the XLA path.
+    fused_blocks runs stride-1 bottlenecks through the fused pallas chain
+    (ops/fused_bottleneck.py) — same parameter tree, same numerics.
+    True fuses every stage; a tuple of stage indices (0-based) fuses only
+    those stages (layer1's 64-wide mid channels pad to 128 MXU lanes, so
+    per-stage selection matters). Stride-2 lead-in blocks stay on the XLA
+    path.
     """
     depth: int = 50
     out_indices: Sequence[int] = (0, 1, 2, 3)
     dtype: jnp.dtype = jnp.float32
-    fused_blocks: bool = False
+    fused_blocks: bool | Sequence[int] = False
 
     @nn.compact
     def __call__(self, x):
@@ -170,7 +172,10 @@ class ResNet(nn.Module):
                 x = Bottleneck(mid, stride=stride, dtype=self.dtype,
                                name=f'layer{stage + 1}_0')(x)
                 start = 1
-            if self.fused_blocks:
+            fuse = (self.fused_blocks is True
+                    or (not isinstance(self.fused_blocks, bool)
+                        and stage in tuple(self.fused_blocks)))
+            if fuse:
                 x = self._fused_chain(x, stage, mid, range(start, n_blocks))
             else:
                 for i in range(start, n_blocks):

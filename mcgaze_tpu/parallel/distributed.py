@@ -108,6 +108,21 @@ def sync_random_seed(seed: int | None = None) -> int:
         np.asarray(seed, np.int32)))
 
 
+def barrier(name: str, timeout_s: int = 1800) -> None:
+    """Align all processes on the coordination service (no device
+    collectives). Needed before the FIRST execution of a compiled
+    multi-process step: on CPU backends the first cross-process
+    collective creates a Gloo context whose key-value rendezvous has a
+    hard ~30 s timeout, so processes whose compile times diverge (cache
+    miss on one, hit on another; contended cores) must re-align between
+    compile and execute. The coordination-service barrier tolerates
+    arbitrary skew up to timeout_s. No-op in single-process runs."""
+    if process_count() == 1:
+        return
+    from jax._src import distributed as _dist
+    _dist.global_state.client.wait_at_barrier(name, timeout_s * 1000)
+
+
 def shard_across_processes(items: Sequence[Any]) -> List[Any]:
     """This process's strided slice of a global work list (reference
     multi_gpu_test's rank-strided DistributedSampler)."""

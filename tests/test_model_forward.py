@@ -76,10 +76,12 @@ def test_mha_matches_torch():
 
 
 def test_gradients_reach_all_stages():
-    # R26 backbone: the "every stage head gets gradient" property doesn't
-    # depend on backbone depth, and the full-R50 grad compile is ~45s of
-    # suite wall time on this 1-core box
-    cfg = ModelConfig(clip_length=7, backbone_depth=26)
+    # R26 + 2 stages + slim FFN: the "every stage head gets gradient"
+    # property is per-stage wiring (the stages are structurally identical
+    # modules chained through stop_gradient'ed boxes), and the full-R50
+    # 4-stage grad compile was ~65s of suite wall time on this 1-core box
+    cfg = ModelConfig(clip_length=7, backbone_depth=26, num_stages=2,
+                      stage_loss_weights=(1.0, 1.0), ffn_channels=256)
     model, variables = init_model(cfg, jax.random.PRNGKey(0),
                                   image_size=(32, 32))
     n = cfg.clip_length

@@ -24,6 +24,7 @@ def tiny_cfg():
 
 
 def make_batch(rng, b=2, t=7, img=IMG):
+    s = img / IMG                      # GT boxes scale with the canvas
     imgs = rng.randn(b, t, img, img, 3).astype(np.float32)
     whwh = np.tile(np.array([img, img, img, img], np.float32), (b, t, 1))
     boxes = np.zeros((b, t, 3, 4), np.float32)
@@ -33,10 +34,12 @@ def make_batch(rng, b=2, t=7, img=IMG):
         for j in range(t):
             # alternate between full 3-clue frames and head-only frames
             if (i + j) % 3 == 0:
-                bl = [[4, 4, 28, 28]]
+                bl = [[4 * s, 4 * s, 28 * s, 28 * s]]
                 gl = [[0, 0, -1]]
             else:
-                bl = [[8, 8, 16, 16], [10, 10, 14, 12], [4, 4, 28, 28]]
+                bl = [[8 * s, 8 * s, 16 * s, 16 * s],
+                      [10 * s, 10 * s, 14 * s, 12 * s],
+                      [4 * s, 4 * s, 28 * s, 28 * s]]
                 gl = [[0, 0, -1]] * 3
             boxes[i, j], valid[i, j], gazes[i, j] = slot_layout_from_counts(
                 bl, gl)
@@ -104,14 +107,18 @@ def test_sharded_step_matches_unsharded():
     A wrong TP PartitionSpec in parallel/mesh.py would break this."""
     from mcgaze_tpu.parallel.mesh import param_shardings, replicated
 
-    cfg = ModelConfig(clip_length=7, num_stages=2,
+    # T=3 clips: the sharding-equivalence property is shape-independent,
+    # and the fp32-highest CPU convs here run 3x (unsharded + 2 meshes),
+    # dominating suite wall time at T=7 (32px is the floor — the stride-32
+    # pyramid level vanishes below it)
+    cfg = ModelConfig(clip_length=3, num_stages=2,
                       stage_loss_weights=(1.0, 1.0), backbone_depth=26,
                       ffn_channels=256)
     oc = OptimConfig()
     state0 = create_train_state(cfg, oc, jax.random.PRNGKey(0),
                                 image_size=(IMG, IMG))
     step = make_train_step(cfg, oc)
-    batch = make_batch(np.random.RandomState(1), b=8)
+    batch = make_batch(np.random.RandomState(1), b=8, t=3)
 
     def run(mesh):
         # the step donates its input state: give each run a fresh copy

@@ -186,7 +186,19 @@ def main():
     # decode (C++ pool) + host->device transfer run one batch ahead of
     # the compiled step (data/prefetch.py)
     from mcgaze_tpu.data.prefetch import device_put_batches
-    batches = device_put_batches(batches, bs)
+    batches = prefetcher = device_put_batches(batches, bs)
+
+    if n_proc > 1:
+        # AOT-compile the step, then re-align the processes before the
+        # first execution: the first cross-process collective's Gloo
+        # rendezvous times out at ~30 s while compile-time skew between
+        # processes can be minutes (parallel/distributed.py::barrier).
+        import itertools
+        from mcgaze_tpu.parallel.distributed import barrier
+        first = next(batches)
+        step_fn = step_fn.lower(state, first).compile()
+        barrier('train_step_compiled')
+        batches = itertools.chain([first], batches)
 
     val_hook = None
     if args.validate:
@@ -237,7 +249,7 @@ def main():
     # join the prefetch producer BEFORE interpreter teardown: a daemon
     # thread still inside device_put / the native pool while the runtime
     # shuts down aborts the process (C++ 'terminate called')
-    batches.close()
+    prefetcher.close()
 
 
 if __name__ == '__main__':
