@@ -52,6 +52,12 @@ class EvalConfig:
     # (4x less host->device traffic); requires the native loader and a
     # forward_fn that accepts uint8 (tools' build_forward does).
     ship_uint8: bool = False
+    # Consecutive stride-4 clips share clip_length - stride frames; when
+    # the forward_fn exposes a .dedup variant (evaluation/forward.py),
+    # send each chunk's UNIQUE frame window + gather indices so
+    # backbone+FPN run once per frame instead of once per clip slot
+    # (~40% less conv work + H2D traffic, numerically exact).
+    dedup_frames: bool = True
 
 
 def clip_slices(video_length: int, clip_len: int, stride: int):
@@ -122,9 +128,23 @@ class VideoGazeEvaluator:
         k_pad = min(cfg.clip_batch,
                     1 if k <= 1 else 1 << (k - 1).bit_length())
         starts = list(starts) + [starts[-1]] * (k_pad - k)
-        sel = np.concatenate(
-            [np.arange(s, s + length) for s in starts])
-        boxes, scores, gazes = self.forward(imgs[sel], whwh[sel], length)
+        dedup = getattr(self.forward, 'dedup', None)
+        if dedup is not None and cfg.dedup_frames:
+            # unique-frame window: starts within a chunk ascend by at most
+            # stride (clip_slices), so span is static per (k_pad, length)
+            # compile shape; tail slack repeats the last frame (computed
+            # but never selected)
+            lo = starts[0]
+            span = cfg.stride * (k_pad - 1) + length
+            idx = np.minimum(np.arange(lo, lo + span), imgs.shape[0] - 1)
+            sel = np.concatenate(
+                [np.arange(s - lo, s - lo + length) for s in starts])
+            boxes, scores, gazes = dedup(imgs[idx], sel, whwh[idx], length)
+        else:
+            sel = np.concatenate(
+                [np.arange(s, s + length) for s in starts])
+            boxes, scores, gazes = self.forward(imgs[sel], whwh[sel],
+                                                length)
         boxes = np.asarray(boxes).reshape(k_pad, length, 3, 4)[:k]
         scores = np.asarray(scores).reshape(k_pad, length, 3)[:k]
         gazes = {name: np.asarray(g).reshape(k_pad, length, 3)[:k]

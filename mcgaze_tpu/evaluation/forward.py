@@ -22,13 +22,12 @@ def make_eval_forward(model_cfg, canvas=(224, 224)):
     import jax
     import jax.numpy as jnp
 
-    from ..models.mcgaze import init_model
+    from ..models.mcgaze import MCGazeModel, init_model
 
     model, variables = init_model(model_cfg, jax.random.PRNGKey(0),
                                   image_size=canvas)
 
-    @partial(jax.jit, static_argnames=('t',))
-    def fwd(variables, imgs, whwh, t):
+    def normalize(imgs, whwh):
         if imgs.dtype == jnp.uint8:
             # raw frames shipped as uint8 (4x less H2D traffic); ImageNet
             # normalization + the pad-region zeroing (the reference pads
@@ -43,17 +42,44 @@ def make_eval_forward(model_cfg, canvas=(224, 224)):
             valid = ((xx < whwh[:, 0, None, None]) &
                      (yy < whwh[:, 1, None, None]))
             imgs = imgs * valid[..., None]
-        out = model.apply(variables, imgs, whwh, clip_length=t)
+        return imgs
+
+    def last_stage(out):
         last = out['stages'][-1]
         return (last['boxes'], jax.nn.sigmoid(last['cls_logits'])[..., 0],
                 last['gaze'])
 
-    return model, variables, fwd
+    @partial(jax.jit, static_argnames=('t',))
+    def fwd(variables, imgs, whwh, t):
+        imgs = normalize(imgs, whwh)
+        return last_stage(model.apply(variables, imgs, whwh, clip_length=t))
+
+    @partial(jax.jit, static_argnames=('t',))
+    def fwd_dedup(variables, frames, sel, whwh_u, t):
+        """Frame-deduplicated forward: consecutive stride-4 clips share
+        T - stride frames, so backbone+FPN run once per UNIQUE frame
+        (`frames` (U,H,W,3), per-frame `whwh_u` (U,4)) and the pyramid is
+        gathered per clip position by `sel` (K*T,) before the query
+        stages. Numerically exact vs fwd on the duplicated layout (the
+        backbone is per-frame); skips ~40% of the dominant conv cost the
+        reference pays recomputing every clip
+        (tools/test_gaze360_gaze.py:87-111)."""
+        frames = normalize(frames, whwh_u)
+        feats = model.apply(variables, frames,
+                            method=MCGazeModel.extract_features)
+        feats_sel = tuple(f[sel] for f in feats)
+        out = model.apply(variables, feats_sel, whwh_u[sel], clip_length=t,
+                          method=MCGazeModel.run_heads)
+        return last_stage(out)
+
+    return model, variables, fwd, fwd_dedup
 
 
-def bind_forward(fwd, variables):
+def bind_forward(fwd, variables, fwd_dedup=None):
     """Close fwd over a fixed variables pytree, numpy in/out (the
-    VideoGazeEvaluator forward_fn signature)."""
+    VideoGazeEvaluator forward_fn signature). When fwd_dedup is given it
+    is attached as forward.dedup(frames (U,...), sel (K*T,), whwh_u
+    (U,4), t) and the driver prefers it (EvalConfig.dedup_frames)."""
     import jax.numpy as jnp
 
     def forward(imgs, whwh, t):
@@ -62,4 +88,13 @@ def bind_forward(fwd, variables):
         return (np.asarray(boxes), np.asarray(scores),
                 {k: np.asarray(v) for k, v in gaze.items()})
 
+    if fwd_dedup is not None:
+        def dedup(frames, sel, whwh_u, t):
+            boxes, scores, gaze = fwd_dedup(
+                variables, jnp.asarray(frames),
+                jnp.asarray(sel, jnp.int32), jnp.asarray(whwh_u), t)
+            return (np.asarray(boxes), np.asarray(scores),
+                    {k: np.asarray(v) for k, v in gaze.items()})
+
+        forward.dedup = dedup
     return forward

@@ -81,45 +81,69 @@ class ModelConfig:
 
 class MCGazeModel(nn.Module):
     """Forward producing per-stage predictions (train needs all stages for
-    the deep-supervision losses; eval consumes stage -1)."""
+    the deep-supervision losses; eval consumes stage -1).
+
+    Split into `extract_features` (per-frame backbone+FPN) and `run_heads`
+    (query stages) so the eval driver can deduplicate the overlapping
+    frames of consecutive stride-4 clips: the backbone is per-frame, so
+    computing the pyramid once per UNIQUE frame and gathering per clip is
+    numerically exact while skipping ~40% of the dominant conv cost
+    (reference recomputes every clip independently,
+    tools/test_gaze360_gaze.py:87-111)."""
     cfg: ModelConfig
 
-    @nn.compact
-    def __call__(self, imgs: jnp.ndarray, img_whwh: jnp.ndarray,
-                 clip_length: int | None = None) -> dict:
-        """imgs: (N, H, W, 3) normalised frames, N = B*T (T static).
-        img_whwh: (N, 4) [w, h, w, h] of each frame's un-padded shape.
-
-        Returns dict with 'stages': list over stages of
-        dict(cls_logits (N,Q,1), boxes (N,Q,4) absolute xyxy,
-             gaze: dict(fusion/face/eyes/head -> (N,3) unit vectors)).
-        """
+    def setup(self):
         cfg = self.cfg
-        t = clip_length or cfg.clip_length
         dtype = cfg.jnp_dtype
-        n = imgs.shape[0]
         q = cfg.num_queries
-
-        feats = ResNet(cfg.backbone_depth, dtype=dtype,
-                       fused_blocks=cfg.backbone_impl == 'fused',
-                       name='backbone')(imgs.astype(dtype))
-        feats = FPN(cfg.channels, len(cfg.strides), dtype=dtype,
-                    name='neck')(feats)
-
+        self.backbone = ResNet(cfg.backbone_depth, dtype=dtype,
+                               fused_blocks=cfg.backbone_impl == 'fused')
+        self.neck = FPN(cfg.channels, len(cfg.strides), dtype=dtype)
         # FixedEmbeddingRPNHead: learned boxes in normalised cxcywh (init =
         # whole image) + learned 256-d query features (reference
         # fixed_embedding_rpn_head.py:41-53,76-94).
-        init_boxes = self.param(
+        self.init_proposal_bboxes = self.param(
             'init_proposal_bboxes',
             lambda _key, shape: jnp.tile(
                 jnp.asarray([0.5, 0.5, 1.0, 1.0], jnp.float32), (q, 1)),
             (q, 4))
-        init_feats = self.param('init_proposal_features',
-                                nn.initializers.normal(1.0), (q, cfg.channels))
+        self.init_proposal_features = self.param(
+            'init_proposal_features', nn.initializers.normal(1.0),
+            (q, cfg.channels))
+        # tuple attributes name their entries bbox_head_0..N-1 — the same
+        # tree as the previous nn.compact layout (checkpoint compatible)
+        self.bbox_head = tuple(
+            STQIHead(channels=cfg.channels, num_heads=cfg.num_heads,
+                     ffn_channels=cfg.ffn_channels,
+                     feat_channels=cfg.dyn_feat_channels,
+                     roi_size=cfg.roi_size, num_queries=q,
+                     num_cls_fcs=cfg.num_cls_fcs,
+                     num_reg_fcs=cfg.num_reg_fcs,
+                     fused_attention=cfg.fused_attention, dtype=dtype)
+            for _ in range(cfg.num_stages))
+        self.gaze_head = tuple(
+            GazeHead(cfg.channels, cfg.gaze_dim, dtype=dtype)
+            for _ in range(cfg.num_stages))
 
-        boxes = bbox_cxcywh_to_xyxy(init_boxes)[None] * img_whwh[:, None, :]
-        query = jnp.broadcast_to(init_feats[None].astype(dtype),
-                                 (n, q, cfg.channels))
+    def extract_features(self, imgs: jnp.ndarray) -> tuple:
+        """(N, H, W, 3) normalised frames -> 4-level FPN pyramid."""
+        return self.neck(self.backbone(imgs.astype(self.cfg.jnp_dtype)))
+
+    def run_heads(self, feats: tuple, img_whwh: jnp.ndarray,
+                  clip_length: int | None = None) -> dict:
+        """Query stages over an extracted pyramid. feats levels and
+        img_whwh share leading dim N = B*T."""
+        cfg = self.cfg
+        t = clip_length or cfg.clip_length
+        dtype = cfg.jnp_dtype
+        n = img_whwh.shape[0]
+        q = cfg.num_queries
+
+        boxes = (bbox_cxcywh_to_xyxy(self.init_proposal_bboxes)[None]
+                 * img_whwh[:, None, :])
+        query = jnp.broadcast_to(
+            self.init_proposal_features[None].astype(dtype),
+            (n, q, cfg.channels))
 
         stages_out = []
         for stage in range(cfg.num_stages):
@@ -142,17 +166,10 @@ class MCGazeModel(nn.Module):
                     finest_scale=cfg.finest_scale)
             roi_feat = roi_feat.reshape(n * q, cfg.roi_size, cfg.roi_size,
                                         cfg.channels)
-            cls_logits, deltas, obj = STQIHead(
-                channels=cfg.channels, num_heads=cfg.num_heads,
-                ffn_channels=cfg.ffn_channels,
-                feat_channels=cfg.dyn_feat_channels, roi_size=cfg.roi_size,
-                num_queries=q, num_cls_fcs=cfg.num_cls_fcs,
-                num_reg_fcs=cfg.num_reg_fcs,
-                fused_attention=cfg.fused_attention, dtype=dtype,
-                name=f'bbox_head_{stage}')(roi_feat, query, t)
+            cls_logits, deltas, obj = self.bbox_head[stage](
+                roi_feat, query, t)
             boxes = delta2bbox(rois, deltas.astype(jnp.float32))
-            gaze = GazeHead(cfg.channels, cfg.gaze_dim, dtype=dtype,
-                            name=f'gaze_head_{stage}')(obj)
+            gaze = self.gaze_head[stage](obj)
             stages_out.append(dict(
                 cls_logits=cls_logits.astype(jnp.float32),
                 boxes=boxes,
@@ -161,6 +178,18 @@ class MCGazeModel(nn.Module):
             query = obj
 
         return dict(stages=stages_out)
+
+    def __call__(self, imgs: jnp.ndarray, img_whwh: jnp.ndarray,
+                 clip_length: int | None = None) -> dict:
+        """imgs: (N, H, W, 3) normalised frames, N = B*T (T static).
+        img_whwh: (N, 4) [w, h, w, h] of each frame's un-padded shape.
+
+        Returns dict with 'stages': list over stages of
+        dict(cls_logits (N,Q,1), boxes (N,Q,4) absolute xyxy,
+             gaze: dict(fusion/face/eyes/head -> (N,3) unit vectors)).
+        """
+        return self.run_heads(self.extract_features(imgs), img_whwh,
+                              clip_length)
 
 
 def init_model(cfg: ModelConfig, rng: jax.Array, image_size=(224, 224)):

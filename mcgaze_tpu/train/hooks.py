@@ -68,14 +68,15 @@ class ValidationHook:
         videos = self.anno['videos']
         self.videos = videos[:max_videos] if max_videos else videos
         self.img_root = img_root
-        _model, _vars, self._fwd = make_eval_forward(cfg.model,
-                                                     cfg.eval_cfg.canvas)
+        _model, _vars, self._fwd, self._fwd_dedup = make_eval_forward(
+            cfg.model, cfg.eval_cfg.canvas)
         self._bind = bind_forward
         self._make_eval = lambda fn: VideoGazeEvaluator(fn, cfg.eval_cfg)
 
     def evaluate(self, variables) -> Dict[str, float]:
         from ..evaluation.mae import evaluate_results
-        evaluator = self._make_eval(self._bind(self._fwd, variables))
+        evaluator = self._make_eval(
+            self._bind(self._fwd, variables, self._fwd_dedup))
         results = []
         for video in self.videos:
             paths = [osp.join(self.img_root, n)

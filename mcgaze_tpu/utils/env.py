@@ -16,7 +16,22 @@ def setup_jax_platform() -> None:
     """Apply JAX_PLATFORMS from the environment authoritatively. Must run
     before any jax device/backend access, so call it at the top of a CLI
     main() — NEVER at library import time (importing a tool module must not
-    re-platform the host process, e.g. pytest's virtual CPU mesh)."""
+    re-platform the host process, e.g. pytest's virtual CPU mesh).
+
+    Also points the persistent XLA compilation cache at a per-user dir
+    (override with JAX_COMPILATION_CACHE_DIR, disable with
+    MCGAZE_NO_COMPILE_CACHE=1): repeat CLI invocations then skip the
+    multi-minute model compiles entirely."""
+    if not os.environ.get('MCGAZE_NO_COMPILE_CACHE'):
+        cache = os.environ.get(
+            'JAX_COMPILATION_CACHE_DIR',
+            os.path.expanduser('~/.cache/mcgaze_tpu/jax'))
+        try:
+            os.makedirs(cache, exist_ok=True)
+            import jax
+            jax.config.update('jax_compilation_cache_dir', cache)
+        except OSError:
+            pass                       # unwritable cache dir: just skip
     platforms = os.environ.get('JAX_PLATFORMS')
     if platforms:
         import jax

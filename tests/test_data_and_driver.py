@@ -287,3 +287,48 @@ def test_forward_clip_batches_are_pow2_padded():
     assert batch_ks == [4]             # 3 clips padded to 4
     fus = np.asarray(res['fusion_gazes'])
     np.testing.assert_allclose(fus[:, 0], np.arange(13), atol=1e-4)
+
+
+def test_dedup_forward_matches_plain_driver_path():
+    """EvalConfig.dedup_frames routes each chunk's UNIQUE frame window +
+    gather indices through forward.dedup; results must match the plain
+    duplicated-clip path on a real (tiny) model, including the
+    right-aligned tail chunk and pow2 clip padding."""
+    from mcgaze_tpu.evaluation.forward import bind_forward, \
+        make_eval_forward
+    from mcgaze_tpu.models.mcgaze import ModelConfig
+
+    cfg = ModelConfig(clip_length=7, backbone_depth=26, num_stages=2,
+                      stage_loss_weights=(1.0, 1.0), ffn_channels=256)
+    _m, variables, fwd, fwd_dedup = make_eval_forward(cfg, canvas=(32, 32))
+    forward = bind_forward(fwd, variables, fwd_dedup)
+    assert hasattr(forward, 'dedup')
+
+    rng = np.random.RandomState(3)
+    # 18 frames -> clips at 0, 4, 8, 11 (right-aligned tail): spans both
+    # a full pow2 chunk and a padded tail chunk at clip_batch=2
+    frames = [rng.randint(0, 255, (H, W, 3), np.uint8) for _ in range(18)]
+    base = dict(scale=(32, 32), canvas=(32, 32), crop_ratio=0.84,
+                clip_batch=2)
+    r_plain = VideoGazeEvaluator(
+        forward, EvalConfig(dedup_frames=False, **base)).run_video(
+            frames, 1)
+    r_dedup = VideoGazeEvaluator(
+        forward, EvalConfig(dedup_frames=True, **base)).run_video(
+            frames, 1)
+    np.testing.assert_allclose(
+        np.asarray(r_plain['fusion_gazes'], np.float64),
+        np.asarray(r_dedup['fusion_gazes'], np.float64), atol=1e-5)
+    for clue in ('face', 'eyes', 'head'):
+        np.testing.assert_allclose(
+            np.asarray(r_plain[f'{clue}_gazes'], np.float64),
+            np.asarray(r_dedup[f'{clue}_gazes'], np.float64), atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(r_plain[f'{clue}_score'], np.float64),
+            np.asarray(r_dedup[f'{clue}_score'], np.float64), atol=1e-5)
+        for b1, b2 in zip(r_plain[f'{clue}_bboxes'],
+                          r_dedup[f'{clue}_bboxes']):
+            if b1 is None or b2 is None:
+                assert b1 == b2
+            else:
+                np.testing.assert_allclose(b1, b2, atol=1e-3)

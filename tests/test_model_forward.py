@@ -105,3 +105,20 @@ def test_gradients_reach_all_stages():
     # find_unused_parameters=True; here all branches contribute)
     zero_frac = sum(1 for v in flat if v == 0.0) / len(flat)
     assert zero_frac < 0.05, f'{zero_frac:.2%} of params got zero grads'
+
+
+def test_split_methods_match_call(tiny_model):
+    """extract_features + run_heads must equal __call__ (the dedup eval
+    path composes them around a frame gather)."""
+    cfg, model, variables = tiny_model
+    n = cfg.clip_length
+    imgs = jax.random.normal(jax.random.PRNGKey(5), (n, 64, 64, 3))
+    whwh = jnp.tile(jnp.asarray([[64., 64., 64., 64.]]), (n, 1))
+    ref = model.apply(variables, imgs, whwh)
+    from mcgaze_tpu.models.mcgaze import MCGazeModel
+    feats = model.apply(variables, imgs,
+                        method=MCGazeModel.extract_features)
+    out = model.apply(variables, feats, whwh,
+                      method=MCGazeModel.run_heads)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, atol=1e-6),
+                 ref, out)

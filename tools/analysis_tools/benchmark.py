@@ -36,6 +36,9 @@ def main():
     ap.add_argument('--synthetic', action='store_true',
                     help='random frames instead of the dataset')
     ap.add_argument('--dtype', default=None)
+    ap.add_argument('--no-dedup', action='store_true',
+                    help='disable unique-frame dedup in the eval driver '
+                         '(A/B the EvalConfig.dedup_frames win)')
     ap.add_argument('--e2e', action='store_true',
                     help='measure the FULL eval path per video '
                          '(decode -> preprocess -> H2D -> forward -> '
@@ -123,7 +126,8 @@ def bench_e2e(args):
     from tools.test_gaze360_gaze import build_forward
 
     cfg = load_config(args.config)
-    eval_cfg = dataclasses.replace(cfg.eval_cfg, clip_batch=args.batch)
+    eval_cfg = dataclasses.replace(cfg.eval_cfg, clip_batch=args.batch,
+                                   dedup_frames=not args.no_dedup)
     evaluator = VideoGazeEvaluator(
         build_forward(cfg, args.checkpoint, args.dtype), eval_cfg)
 

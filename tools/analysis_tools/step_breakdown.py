@@ -1,0 +1,120 @@
+"""Eval-forward time breakdown on the real chip: backbone / +FPN / full
+model at 2 and 4 stages. Differences isolate where the non-backbone time
+goes (stage heads + RoIAlign vs neck). Serial-chain timing, one readback
+(bench.py discipline — the axon tunnel breaks per-step readbacks).
+
+Usage: python tools/analysis_tools/step_breakdown.py
+"""
+import argparse
+import json
+import os.path as osp
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, osp.join(osp.dirname(osp.abspath(__file__)), '..', '..'))
+
+
+def _time(fn, eps0, iters, warmup):
+    import jax.numpy as jnp
+    eps = jnp.float32(eps0)
+    for _ in range(warmup):
+        eps = fn(eps)
+    float(eps)
+    start = time.perf_counter()
+    eps = jnp.float32(eps0)
+    for _ in range(iters):
+        eps = fn(eps)
+    float(eps)
+    return (time.perf_counter() - start) / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--batch', type=int, default=32, help='clips per step')
+    ap.add_argument('--image', type=int, default=224)
+    ap.add_argument('--iters', type=int, default=20)
+    ap.add_argument('--warmup', type=int, default=3)
+    ap.add_argument('--dtype', default='bfloat16')
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from mcgaze_tpu.models.fpn import FPN
+    from mcgaze_tpu.models.mcgaze import MCGazeModel, ModelConfig, init_model
+    from mcgaze_tpu.models.resnet import ResNet
+
+    dt = jnp.dtype(args.dtype)
+    n = args.batch * 7
+    rng = np.random.RandomState(0)
+    imgs = jnp.asarray(rng.randn(n, args.image, args.image, 3)
+                       .astype(np.float32))
+    whwh = jnp.tile(jnp.asarray([[args.image] * 4], jnp.float32), (n, 1))
+    x = imgs.astype(dt)
+
+    results = {}
+
+    backbone = ResNet(50, dtype=dt)
+    bvars = backbone.init(jax.random.PRNGKey(0), x[:1])
+
+    @jax.jit
+    def bb(v, xx, eps):
+        outs = backbone.apply(v, xx + eps)
+        return (sum(jnp.sum(o) for o in outs) * 1e-12).astype(jnp.float32)
+
+    results['backbone'] = _time(lambda e: bb(bvars, x, e), 0.0,
+                                args.iters, args.warmup)
+
+    from flax import linen as nn
+
+    class _BF(nn.Module):
+        dtype: jnp.dtype = dt
+
+        @nn.compact
+        def __call__(self, xx):
+            return FPN(256, 4, dtype=self.dtype, name='neck')(
+                ResNet(50, dtype=self.dtype, name='backbone')(xx))
+
+    bf = _BF()
+    bfvars = bf.init(jax.random.PRNGKey(0), x[:1])
+
+    @jax.jit
+    def bbf(v, xx, eps):
+        outs = bf.apply(v, xx + eps)
+        return (sum(jnp.sum(o) for o in outs) * 1e-12).astype(jnp.float32)
+
+    results['backbone_fpn'] = _time(lambda e: bbf(bfvars, x, e), 0.0,
+                                    args.iters, args.warmup)
+
+    for stages in (2, 4):
+        cfg = ModelConfig(dtype=args.dtype, num_stages=stages,
+                          stage_loss_weights=(1.0,) * stages)
+        model, variables = init_model(cfg, jax.random.PRNGKey(0),
+                                      image_size=(args.image, args.image))
+
+        @jax.jit
+        def full(v, ii, ww, eps, model=model):
+            out = model.apply(v, ii + eps, ww, clip_length=7)
+            last = out['stages'][-1]
+            dep = (jnp.sum(last['boxes']) + jnp.sum(last['gaze']['fusion'])
+                   ) * 1e-12
+            return dep.astype(jnp.float32)
+
+        results[f'full_{stages}stage'] = _time(
+            lambda e, f=full, v=variables: f(v, imgs, whwh, e), 0.0,
+            args.iters, args.warmup)
+
+    ms = {k: round(v * 1e3, 3) for k, v in results.items()}
+    ms['fpn'] = round(ms['backbone_fpn'] - ms['backbone'], 3)
+    ms['per_stage'] = round(
+        (ms['full_4stage'] - ms['full_2stage']) / 2, 3)
+    ms['head_path_4stage'] = round(
+        ms['full_4stage'] - ms['backbone_fpn'], 3)
+    print(json.dumps(ms))
+    return 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())

@@ -43,7 +43,8 @@ def build_forward(cfg, checkpoint, dtype=None):
     model_cfg = cfg.model
     if dtype:
         model_cfg = dataclasses.replace(model_cfg, dtype=dtype)
-    _model, variables, fwd = make_eval_forward(model_cfg, cfg.eval_cfg.canvas)
+    _model, variables, fwd, fwd_dedup = make_eval_forward(
+        model_cfg, cfg.eval_cfg.canvas)
     if checkpoint:
         if checkpoint.endswith(('.pth', '.pt')):
             from mcgaze_tpu.utils.torch_convert import convert_torch_checkpoint
@@ -55,7 +56,7 @@ def build_forward(cfg, checkpoint, dtype=None):
             variables = {'params': restored['params'],
                          'stats': restored['stats']}
 
-    return bind_forward(fwd, variables)
+    return bind_forward(fwd, variables, fwd_dedup)
 
 
 def main():
