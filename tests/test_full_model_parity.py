@@ -160,9 +160,12 @@ def full_parity_fixture(tmp_path_factory):
                                for k, v in sd.items()}}, path)
     cfg = ModelConfig()
     model = MCGazeModel(cfg)
-    variables = model.init(jax.random.PRNGKey(0),
-                           jnp.zeros((T, IMG, IMG, 3), jnp.float32),
-                           jnp.full((T, 4), float(IMG)))
+    # jitted init/apply: eager op-by-op dispatch of the full R50 cost this
+    # fixture ~40s on the 1-core box; compiled versions persist in the
+    # compile cache across runs
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                    jnp.zeros((T, IMG, IMG, 3), jnp.float32),
+                                    jnp.full((T, 4), float(IMG)))
     converted = convert_torch_checkpoint(path, variables)
     return sd, model, converted
 
@@ -196,9 +199,9 @@ def test_full_model_matches_torch_replica(full_parity_fixture):
             ref_stages.append((cls_logits, boxes, gaze))
             query = obj
 
-    # ---- ours: one apply ----
-    out = model.apply(variables, jnp.asarray(imgs), jnp.asarray(whwh),
-                      clip_length=T)
+    # ---- ours: one apply (jitted, persistent-cacheable) ----
+    out = jax.jit(lambda v, i, w: model.apply(v, i, w, clip_length=T))(
+        variables, jnp.asarray(imgs), jnp.asarray(whwh))
 
     for stage, (r_cls, r_boxes, r_gaze) in enumerate(ref_stages):
         o = out['stages'][stage]

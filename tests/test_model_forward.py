@@ -16,15 +16,19 @@ def tiny_model():
     cfg = ModelConfig(clip_length=7)
     model, variables = init_model(cfg, jax.random.PRNGKey(0),
                                   image_size=(64, 64))
-    return cfg, model, variables
+    # shared jitted apply: eager op-by-op dispatch of the full model cost
+    # ~6s PER test on this box; the compiled version persists in the
+    # compile cache across runs
+    apply = jax.jit(model.apply)
+    return cfg, model, variables, apply
 
 
 def test_forward_shapes_and_unit_gazes(tiny_model):
-    cfg, model, variables = tiny_model
+    cfg, model, variables, apply = tiny_model
     n = cfg.clip_length
     imgs = jax.random.normal(jax.random.PRNGKey(1), (n, 64, 64, 3))
     whwh = jnp.tile(jnp.asarray([[64., 64., 64., 64.]]), (n, 1))
-    out = model.apply(variables, imgs, whwh)
+    out = apply(variables, imgs, whwh)
     assert len(out['stages']) == 4
     last = out['stages'][-1]
     assert last['cls_logits'].shape == (n, 3, 1)
@@ -36,11 +40,11 @@ def test_forward_shapes_and_unit_gazes(tiny_model):
 
 
 def test_stages_differ_and_boxes_refine(tiny_model):
-    cfg, model, variables = tiny_model
+    cfg, model, variables, apply = tiny_model
     n = cfg.clip_length
     imgs = jax.random.normal(jax.random.PRNGKey(2), (n, 64, 64, 3))
     whwh = jnp.tile(jnp.asarray([[64., 64., 64., 64.]]), (n, 1))
-    out = model.apply(variables, imgs, whwh)
+    out = apply(variables, imgs, whwh)
     b0 = np.asarray(out['stages'][0]['boxes'])
     b3 = np.asarray(out['stages'][-1]['boxes'])
     assert not np.allclose(b0, b3)
@@ -98,7 +102,9 @@ def test_gradients_reach_all_stages():
             total += jnp.sum(jnp.abs(s['gaze']['fusion']))
         return total
 
-    grads = jax.grad(loss_fn)(variables['params'])
+    # jit the grad: eager op-by-op dispatch took ~45s on this box, and
+    # the compiled version lands in the persistent cache across runs
+    grads = jax.jit(jax.grad(loss_fn))(variables['params'])
     flat = jax.tree.leaves(jax.tree.map(lambda g: float(jnp.abs(g).sum()),
                                         grads))
     # every stage head must receive gradient (the reference needed
@@ -110,15 +116,15 @@ def test_gradients_reach_all_stages():
 def test_split_methods_match_call(tiny_model):
     """extract_features + run_heads must equal __call__ (the dedup eval
     path composes them around a frame gather)."""
-    cfg, model, variables = tiny_model
+    cfg, model, variables, apply = tiny_model
     n = cfg.clip_length
     imgs = jax.random.normal(jax.random.PRNGKey(5), (n, 64, 64, 3))
     whwh = jnp.tile(jnp.asarray([[64., 64., 64., 64.]]), (n, 1))
-    ref = model.apply(variables, imgs, whwh)
+    ref = apply(variables, imgs, whwh)
     from mcgaze_tpu.models.mcgaze import MCGazeModel
-    feats = model.apply(variables, imgs,
-                        method=MCGazeModel.extract_features)
-    out = model.apply(variables, feats, whwh,
-                      method=MCGazeModel.run_heads)
+    feats = jax.jit(lambda v, i: model.apply(
+        v, i, method=MCGazeModel.extract_features))(variables, imgs)
+    out = jax.jit(lambda v, f, w: model.apply(
+        v, f, w, method=MCGazeModel.run_heads))(variables, feats, whwh)
     jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, atol=1e-6),
                  ref, out)

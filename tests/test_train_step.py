@@ -99,16 +99,16 @@ def test_train_step_decreases_loss_and_freezes_stem():
         head_before)
 
 
-def test_sharded_step_matches_unsharded():
+def _sharded_equivalence(meshes, b):
     """The correctness claim behind replacing the reference's NCCL DDP
     (apis/train.py:113-124) with pjit over a mesh: one identical batch
-    stepped on 1 device, on a 4x2 (dp x tp) mesh and on an 8x1 mesh must
-    produce the same loss / grad-norm / updated params at fp32 tolerance.
-    A wrong TP PartitionSpec in parallel/mesh.py would break this."""
+    stepped on 1 device and on each given mesh must produce the same
+    loss / grad-norm / updated params at fp32 tolerance. A wrong TP
+    PartitionSpec in parallel/mesh.py would break this."""
     from mcgaze_tpu.parallel.mesh import param_shardings, replicated
 
     # T=3 clips: the sharding-equivalence property is shape-independent,
-    # and the fp32-highest CPU convs here run 3x (unsharded + 2 meshes),
+    # and the fp32 CPU convs here run once per mesh + unsharded,
     # dominating suite wall time at T=7 (32px is the floor — the stride-32
     # pyramid level vanishes below it)
     cfg = ModelConfig(clip_length=3, num_stages=2,
@@ -118,7 +118,7 @@ def test_sharded_step_matches_unsharded():
     state0 = create_train_state(cfg, oc, jax.random.PRNGKey(0),
                                 image_size=(IMG, IMG))
     step = make_train_step(cfg, oc)
-    batch = make_batch(np.random.RandomState(1), b=8, t=3)
+    batch = make_batch(np.random.RandomState(1), b=b, t=3)
 
     def run(mesh):
         # the step donates its input state: give each run a fresh copy
@@ -139,8 +139,7 @@ def test_sharded_step_matches_unsharded():
                 jax.device_get(new_state.params))
 
     loss1, gn1, p1 = run(None)
-    for mesh in (make_mesh(n_data=4, n_model=2), make_mesh(n_data=8,
-                                                           n_model=1)):
+    for mesh in meshes:
         lossm, gnm, pm = run(mesh)
         assert lossm == pytest.approx(loss1, rel=2e-5)
         assert gnm == pytest.approx(gn1, rel=2e-4)
@@ -153,6 +152,19 @@ def test_sharded_step_matches_unsharded():
             lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-4,
                                                     atol=3e-6),
             p1, pm)
+
+
+def test_sharded_step_matches_unsharded():
+    """Fast-suite variant: the 4x2 mesh exercises BOTH the data axis and
+    every TP rule; batch 4 (dp=4) keeps the three step executions cheap
+    on the 1-core virtual-device box."""
+    _sharded_equivalence([make_mesh(n_data=4, n_model=2)], b=4)
+
+
+@pytest.mark.slow
+def test_sharded_step_matches_unsharded_8x1():
+    """Pure-DP 8-way layout at the full test batch."""
+    _sharded_equivalence([make_mesh(n_data=8, n_model=1)], b=8)
 
 
 def test_loss_masks_head_only_frames():
