@@ -16,7 +16,6 @@ secondary number for non-overlapping clips (no sharing to exploit).
 import argparse
 import json
 import sys
-import time
 
 import numpy as np
 
@@ -41,27 +40,13 @@ def main():
     cfg = ModelConfig(dtype=args.dtype)
     t = cfg.clip_length
     k = args.batch
+    from mcgaze_tpu.utils.benchmarking import serial_chain_time
+
     _model, variables, fwd, fwd_dedup = make_eval_forward(
         cfg, canvas=(args.image, args.image))
 
-    # eps threads a scalar dependency through consecutive iterations so
-    # the timed loop is a strict serial chain of device executions with
-    # ONE host readback at the end. On this dev image the TPU sits behind
-    # a ~27 ms RTT tunnel and block_until_ready returns before execution
-    # finishes, so per-step readbacks measure the tunnel, not the chip;
-    # chaining measures true sustained device throughput (the number that
-    # matters for pipelined serving).
     def chain(fn):
-        eps = jnp.float32(0.0)
-        for _ in range(args.warmup):
-            eps = fn(eps)
-        float(eps)                               # sync warmup
-        start = time.perf_counter()
-        eps = jnp.float32(0.0)
-        for _ in range(args.iters):
-            eps = fn(eps)
-        float(eps)                               # single completion barrier
-        return (time.perf_counter() - start) / args.iters
+        return serial_chain_time(fn, args.iters, args.warmup)
 
     rng = np.random.RandomState(0)
     u = args.stride * (k - 1) + t                # unique frames per chunk

@@ -79,8 +79,16 @@ def clip_slices(video_length: int, clip_len: int, stride: int):
 
 
 def crop_ratios(cfg: EvalConfig, num_frames: int, video_id: int):
-    """Per-frame crop ratios for one video, or None when cropping is off."""
+    """Per-frame crop ratios for one video, or None when cropping is off
+    (crop_ratio=None — the l2cs eval setting, no CenterCrop)."""
     if cfg.crop_ratio is None:
+        if cfg.crop_mode == 'reference':
+            raise ValueError(
+                "crop_mode='reference' with crop_ratio=None is "
+                'contradictory: reference mode replicates the per-frame '
+                'U[crop_size, 1) CenterCrop, but crop_ratio=None disables '
+                'cropping entirely (the l2cs eval setting). Set a '
+                "crop_ratio or use crop_mode='fixed'.")
         return None
     if cfg.crop_mode == 'reference':
         rng = np.random.RandomState(cfg.crop_seed + video_id)

@@ -15,17 +15,25 @@ from functools import partial
 import numpy as np
 
 
-def make_eval_forward(model_cfg, canvas=(224, 224)):
-    """Returns (model, variables, fwd) where
+def make_eval_forward(model_cfg, canvas=(224, 224), init_variables=True):
+    """Returns (model, variables, fwd, fwd_dedup) where
     fwd(variables, imgs (N,H,W,3) f32|u8, whwh (N,4), t) ->
-        (boxes (N,3,4), scores (N,3), gazes dict name->(N,3))."""
+        (boxes (N,3,4), scores (N,3), gazes dict name->(N,3))
+    and fwd_dedup is the unique-frame variant (docstring below).
+
+    init_variables=False skips the (compile-heavy) jitted init and
+    returns variables=None — for callers that always substitute their own
+    params (the in-training ValidationHook)."""
     import jax
     import jax.numpy as jnp
 
     from ..models.mcgaze import MCGazeModel, init_model
 
-    model, variables = init_model(model_cfg, jax.random.PRNGKey(0),
-                                  image_size=canvas)
+    if init_variables:
+        model, variables = init_model(model_cfg, jax.random.PRNGKey(0),
+                                      image_size=canvas)
+    else:
+        model, variables = MCGazeModel(model_cfg), None
 
     def normalize(imgs, whwh):
         if imgs.dtype == jnp.uint8:

@@ -246,7 +246,7 @@ def fold_block_params(conv1, bn1, conv2, bn2, conv3, bn3,
     conv*: HWIO conv kernels ((1,1,Ci,Co) or (3,3,Cm,Cm)); bn*: (w, b)
     folded scale/bias pairs from FrozenBatchNorm (f32). Returns the flat
     per-block tuple the kernel consumes; A2's rows are ordered
-    (dy, dx, cin) to match _im2col3x3.
+    (dy, dx, cin) to match the shifted-column order of _conv3x3_rows.
     """
     def fold1x1(k, wb):
         w_, b_ = wb

@@ -119,8 +119,15 @@ def barrier(name: str, timeout_s: int = 1800) -> None:
     arbitrary skew up to timeout_s. No-op in single-process runs."""
     if process_count() == 1:
         return
-    from jax._src import distributed as _dist
-    _dist.global_state.client.wait_at_barrier(name, timeout_s * 1000)
+    try:
+        from jax._src import distributed as _dist
+        _dist.global_state.client.wait_at_barrier(name, timeout_s * 1000)
+    except (ImportError, AttributeError):
+        # private-API fallback for future jax versions: the public sync
+        # runs a tiny collective — its sub-second compile keeps process
+        # skew inside the Gloo rendezvous window, which is all we need
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(name)
 
 
 def shard_across_processes(items: Sequence[Any]) -> List[Any]:

@@ -69,7 +69,7 @@ class ValidationHook:
         self.videos = videos[:max_videos] if max_videos else videos
         self.img_root = img_root
         _model, _vars, self._fwd, self._fwd_dedup = make_eval_forward(
-            cfg.model, cfg.eval_cfg.canvas)
+            cfg.model, cfg.eval_cfg.canvas, init_variables=False)
         self._bind = bind_forward
         self._make_eval = lambda fn: VideoGazeEvaluator(fn, cfg.eval_cfg)
 
@@ -108,9 +108,10 @@ class TextLogger:
     Iter [i/max], lr, eta, time, data_time, per-loss values."""
 
     def __init__(self, work_dir: Optional[str], max_iters: int,
-                 interval: int = 50):
+                 interval: int = 50, quiet: bool = False):
         self.max_iters = max_iters
         self.interval = interval
+        self.quiet = quiet                    # non-zero ranks: no console
         self.path = (osp.join(work_dir, 'train_log.jsonl')
                      if work_dir else None)
         self._t0 = time.time()
@@ -134,8 +135,9 @@ class TextLogger:
             line['time'] = round(timer.time, 3)
             line['data_time'] = round(timer.data_time, 3)
         parts = ', '.join(f'{k}: {v}' for k, v in scalars.items())
-        print(f'Iter [{step}/{self.max_iters}] lr: {lr:.2e}, '
-              f'eta: {eta}, {parts}')
+        if not self.quiet:
+            print(f'Iter [{step}/{self.max_iters}] lr: {lr:.2e}, '
+                  f'eta: {eta}, {parts}')
         if self.path:
             with open(self.path, 'a') as f:
                 f.write(json.dumps(line) + '\n')

@@ -232,6 +232,10 @@ def test_crop_ratios_modes():
     assert (arr >= 0.68).all() and (arr < 1.0).all()
     assert len(set(a)) > 30            # per-FRAME sampling, not per-clip
     assert crop_ratios(EvalConfig(crop_ratio=None), 5, 0) is None
+    # crop disabled + reference mode is contradictory -> explicit error
+    with pytest.raises(ValueError, match='contradictory'):
+        crop_ratios(EvalConfig(crop_ratio=None, crop_mode='reference'),
+                    5, 0)
 
 
 def test_reference_crop_mode_runs_and_differs():

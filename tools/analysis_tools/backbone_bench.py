@@ -12,7 +12,6 @@ import argparse
 import json
 import os.path as osp
 import sys
-import time
 
 import numpy as np
 
@@ -59,16 +58,9 @@ def main():
             dep = sum(jnp.sum(o) for o in outs) * 1e-12
             return dep.astype(jnp.float32)
 
-        eps = jnp.float32(0.0)
-        for _ in range(args.warmup):
-            eps = fwd(variables, x, eps)
-        float(eps)
-        start = time.perf_counter()
-        eps = jnp.float32(0.0)
-        for _ in range(args.iters):
-            eps = fwd(variables, x, eps)
-        float(eps)
-        dt = (time.perf_counter() - start) / args.iters
+        from mcgaze_tpu.utils.benchmarking import serial_chain_time
+        dt = serial_chain_time(lambda e: fwd(variables, x, e),
+                               args.iters, args.warmup)
         results[name] = round(dt * 1e3, 3)
         print(json.dumps({'variant': name, 'ms_per_step': results[name],
                           'frames_per_sec': round(args.batch / dt, 1)}))

@@ -14,7 +14,6 @@ import argparse
 import json
 import os.path as osp
 import sys
-import time
 
 import numpy as np
 
@@ -42,17 +41,7 @@ def main():
     _m, variables, fwd, fwd_dedup = make_eval_forward(
         cfg, canvas=(args.image, args.image))
 
-    def chain(fn, iters):
-        eps = jnp.float32(0.0)
-        for _ in range(args.warmup):
-            eps = fn(eps)
-        float(eps)
-        start = time.perf_counter()
-        eps = jnp.float32(0.0)
-        for _ in range(iters):
-            eps = fn(eps)
-        float(eps)
-        return (time.perf_counter() - start) / iters
+    from mcgaze_tpu.utils.benchmarking import serial_chain_time
 
     rng = np.random.RandomState(0)
     for k in args.clips:
@@ -78,8 +67,10 @@ def main():
             return ((jnp.sum(b) + jnp.sum(g['fusion'])) * 1e-12).astype(
                 jnp.float32)
 
-        ms_plain = chain(f_plain, args.iters) * 1e3
-        ms_dedup = chain(f_dedup, args.iters) * 1e3
+        ms_plain = serial_chain_time(f_plain, args.iters,
+                                     args.warmup) * 1e3
+        ms_dedup = serial_chain_time(f_dedup, args.iters,
+                                     args.warmup) * 1e3
         print(json.dumps(dict(
             clips=k, frames_plain=int(k * t), frames_unique=int(u),
             ms_plain=round(ms_plain, 3), ms_dedup=round(ms_dedup, 3),

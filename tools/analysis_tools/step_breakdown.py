@@ -9,7 +9,6 @@ import argparse
 import json
 import os.path as osp
 import sys
-import time
 
 import numpy as np
 
@@ -17,17 +16,8 @@ sys.path.insert(0, osp.join(osp.dirname(osp.abspath(__file__)), '..', '..'))
 
 
 def _time(fn, eps0, iters, warmup):
-    import jax.numpy as jnp
-    eps = jnp.float32(eps0)
-    for _ in range(warmup):
-        eps = fn(eps)
-    float(eps)
-    start = time.perf_counter()
-    eps = jnp.float32(eps0)
-    for _ in range(iters):
-        eps = fn(eps)
-    float(eps)
-    return (time.perf_counter() - start) / iters
+    from mcgaze_tpu.utils.benchmarking import serial_chain_time
+    return serial_chain_time(fn, iters, warmup)
 
 
 def main():

@@ -214,7 +214,12 @@ def main():
                 interval=args.val_interval or cfg.checkpoint_interval,
                 max_videos=args.val_max_videos, work_dir=work_dir)
 
-    logger = TextLogger(work_dir, max_iters, log_interval)
+    # log from process 0 only (reference: mmcv's rank-0 logger); losses
+    # are global under the jit so rank 0's stream is complete, and two
+    # processes appending to the same jsonl would interleave corruptly
+    logger = TextLogger(work_dir if jax.process_index() == 0 else None,
+                        max_iters, log_interval,
+                        quiet=jax.process_index() != 0)
     nan_guard = CheckInvalidLoss(interval=log_interval)
     timer = IterTimer()
     start_step = int(state.step)
@@ -239,7 +244,8 @@ def main():
         if (it + 1) % cfg.checkpoint_interval == 0 or it + 1 == max_iters:
             path = save_checkpoint(work_dir, it + 1, _model_tree(state),
                                    train_tree=_train_tree(state))
-            print(f'saved {path}')
+            if jax.process_index() == 0:
+                print(f'saved {path}')
         if val_hook is not None:
             val_hook.after_iter(it + 1, state)
     if prof_on:
