@@ -75,8 +75,8 @@ def make_eval_forward(model_cfg, canvas=(224, 224), init_variables=True):
         frames = normalize(frames, whwh_u)
         feats = model.apply(variables, frames,
                             method=MCGazeModel.extract_features)
-        feats_sel = tuple(f[sel] for f in feats)
-        out = model.apply(variables, feats_sel, whwh_u[sel], clip_length=t,
+        out = model.apply(variables, feats, whwh_u[sel], clip_length=t,
+                          frame_idx=sel,
                           method=MCGazeModel.run_heads)
         return last_stage(out)
 

@@ -130,9 +130,15 @@ class MCGazeModel(nn.Module):
         return self.neck(self.backbone(imgs.astype(self.cfg.jnp_dtype)))
 
     def run_heads(self, feats: tuple, img_whwh: jnp.ndarray,
-                  clip_length: int | None = None) -> dict:
+                  clip_length: int | None = None,
+                  frame_idx: jnp.ndarray | None = None) -> dict:
         """Query stages over an extracted pyramid. feats levels and
-        img_whwh share leading dim N = B*T."""
+        img_whwh share leading dim N = B*T — unless frame_idx (N,) is
+        given, in which case feats hold only the UNIQUE frames (U ≤ N)
+        and each slot reads pyramid frame frame_idx[slot]: the pallas
+        RoIAlign consumes the mapping as a scalar-prefetch index map, so
+        the duplicated pyramid never materialises in HBM (the dedup eval
+        path, evaluation/forward.py::fwd_dedup)."""
         cfg = self.cfg
         t = clip_length or cfg.clip_length
         dtype = cfg.jnp_dtype
@@ -154,14 +160,23 @@ class MCGazeModel(nn.Module):
             if impl == 'auto':
                 impl = ('pallas' if jax.default_backend() == 'tpu'
                         else 'mm')
-            if impl == 'pallas':
+            if impl == 'pallas' and frame_idx is not None:
+                from ..ops.roi_align_pallas import \
+                    roi_align_fpn_pallas_gather_diff
+                roi_feat = roi_align_fpn_pallas_gather_diff(
+                    feats, rois.astype(jnp.float32), frame_idx,
+                    cfg.roi_size, cfg.sampling_ratio, cfg.strides,
+                    cfg.finest_scale)
+            elif impl == 'pallas':
                 from ..ops.roi_align_pallas import roi_align_fpn_pallas_diff
                 roi_feat = roi_align_fpn_pallas_diff(
                     feats, rois.astype(jnp.float32), cfg.roi_size,
                     cfg.sampling_ratio, cfg.strides, cfg.finest_scale)
             else:
+                lv = (feats if frame_idx is None
+                      else tuple(f[frame_idx] for f in feats))
                 roi_feat = roi_align_fpn_mm(
-                    feats, rois.astype(jnp.float32), out_size=cfg.roi_size,
+                    lv, rois.astype(jnp.float32), out_size=cfg.roi_size,
                     sampling_ratio=cfg.sampling_ratio, strides=cfg.strides,
                     finest_scale=cfg.finest_scale)
             roi_feat = roi_feat.reshape(n * q, cfg.roi_size, cfg.roi_size,

@@ -145,42 +145,60 @@ def roi_align_fpn_pallas(feats: tuple,
                          sampling_ratio: int = 2,
                          strides: tuple = (4, 8, 16, 32),
                          finest_scale: float = 56.0,
+                         frame_idx: jnp.ndarray | None = None,
                          interpret: bool = False) -> jnp.ndarray:
     """Drop-in replacement for roi_align_fpn_mm (same signature/semantics).
 
-    feats: tuple of L arrays (N, H_l, W_l, C) NHWC; rois: (N, R, 4) xyxy.
+    feats: tuple of L arrays (U, H_l, W_l, C) NHWC; rois: (N, R, 4) xyxy.
     Returns (N, R, out_size, out_size, C) in feats' dtype.
-    """
-    n = feats[0].shape[0]
+
+    frame_idx (N,) int32 maps each roi slot to its pyramid frame
+    (U == N and identity when omitted). The dedup eval path passes the
+    clip->unique-frame gather here as a SCALAR-PREFETCH index map instead
+    of materialising the duplicated (N-frame) pyramid in HBM: the kernel
+    DMAs each slot's frame block directly, and pallas skips the re-fetch
+    when consecutive slots map to the same frame (overlapping clips)."""
+    n = rois.shape[0]
     c = feats[0].shape[-1]
     r = rois.shape[1]
+    u = feats[0].shape[0]
     sizes = tuple((f.shape[1], f.shape[2]) for f in feats)
     dtype = feats[0].dtype
 
-    # (N, H, W*C): contiguity-preserving, so XLA lowers it without a copy
-    flat_feats = [f.reshape(n, f.shape[1], f.shape[2] * c) for f in feats]
+    # (U, H, W*C): contiguity-preserving, so XLA lowers it without a copy
+    flat_feats = [f.reshape(u, f.shape[1], f.shape[2] * c) for f in feats]
 
     kernel = _make_kernel(r, out_size, sampling_ratio, strides, sizes, c,
                           finest_scale, jnp.float32)
 
-    in_specs = [pl.BlockSpec((1, r, 4), lambda i: (i, 0, 0),
-                             memory_space=pltpu.SMEM)]
-    in_specs += [
-        pl.BlockSpec((1, h, w * c), lambda i: (i, 0, 0),
-                     memory_space=pltpu.VMEM)
-        for (h, w) in sizes
-    ]
-    out = pl.pallas_call(
-        kernel,
+    if frame_idx is None:
+        assert u == n, (u, n)
+        frame_idx = jnp.arange(n, dtype=jnp.int32)
+
+    def _k(fidx_ref, *refs):
+        kernel(*refs)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(n,),
-        in_specs=in_specs,
+        in_specs=[pl.BlockSpec((1, r, 4), lambda i, fidx: (i, 0, 0),
+                               memory_space=pltpu.SMEM)] + [
+            pl.BlockSpec((1, h, w * c),
+                         lambda i, fidx: (fidx[i], 0, 0),
+                         memory_space=pltpu.VMEM)
+            for (h, w) in sizes
+        ],
         out_specs=pl.BlockSpec((1, r, out_size, out_size, c),
-                               lambda i: (i, 0, 0, 0, 0),
+                               lambda i, fidx: (i, 0, 0, 0, 0),
                                memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        _k,
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, r, out_size, out_size, c),
                                        dtype),
         interpret=interpret,
-    )(rois.astype(jnp.float32), *flat_feats)
+    )(frame_idx.astype(jnp.int32), rois.astype(jnp.float32), *flat_feats)
     return out
 
 
@@ -215,3 +233,40 @@ def _diff_bwd(out_size, sampling_ratio, strides, finest_scale, res, g):
 
 
 roi_align_fpn_pallas_diff.defvjp(_diff_fwd, _diff_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def roi_align_fpn_pallas_gather_diff(feats, rois, frame_idx, out_size=7,
+                                     sampling_ratio=2,
+                                     strides=(4, 8, 16, 32),
+                                     finest_scale=56.0):
+    """Frame-indexed variant (dedup eval path): pallas forward reading
+    each slot's frame via scalar-prefetch; backward = mm transpose of
+    gather∘roi_align (scatter-add into the unique frames)."""
+    return roi_align_fpn_pallas(feats, rois, out_size=out_size,
+                                sampling_ratio=sampling_ratio,
+                                strides=strides, finest_scale=finest_scale,
+                                frame_idx=frame_idx)
+
+
+def _gdiff_fwd(feats, rois, frame_idx, out_size, sampling_ratio, strides,
+               finest_scale):
+    out = roi_align_fpn_pallas_gather_diff(
+        feats, rois, frame_idx, out_size, sampling_ratio, strides,
+        finest_scale)
+    return out, (feats, rois, frame_idx)
+
+
+def _gdiff_bwd(out_size, sampling_ratio, strides, finest_scale, res, g):
+    from .roi_align import roi_align_fpn_mm
+    feats, rois, frame_idx = res
+    _, vjp = jax.vjp(
+        lambda f: roi_align_fpn_mm(
+            tuple(x[frame_idx] for x in f), rois, out_size=out_size,
+            sampling_ratio=sampling_ratio, strides=strides,
+            finest_scale=finest_scale), feats)
+    return (vjp(g.astype(feats[0].dtype))[0], jnp.zeros_like(rois),
+            jnp.zeros(frame_idx.shape, jax.dtypes.float0))
+
+
+roi_align_fpn_pallas_gather_diff.defvjp(_gdiff_fwd, _gdiff_bwd)

@@ -205,3 +205,49 @@ def test_pallas_diff_wrapper_grads_match_mm():
     g_ref = jax.grad(f_mm)(feats[0])
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_frame_idx_matches_gather():
+    """Scalar-prefetch frame indexing (the dedup eval path): pallas over
+    UNIQUE frames + frame_idx must equal pallas over the materialised
+    gathered pyramid, and the gather-diff wrapper's feats-grads must
+    match the mm transpose of gather-then-roi (scatter-add)."""
+    import jax
+    import jax.numpy as jnp
+    from mcgaze_tpu.ops.roi_align import roi_align_fpn_mm
+    from mcgaze_tpu.ops.roi_align_pallas import (
+        roi_align_fpn_pallas, roi_align_fpn_pallas_gather_diff)
+    rng = np.random.RandomState(2)
+    feats = make_pyramid(rng, n=3, c=8, base=32)     # 3 unique frames
+    # 5 roi slots mapping onto the 3 frames, with repeats (overlap)
+    fidx = np.array([0, 1, 1, 2, 0], np.int32)
+    rois = np.zeros((5, 3, 4), np.float32)
+    sizes = np.array([25, 90, 300], np.float32)
+    for n in range(5):
+        for r, s in enumerate(sizes):
+            x1 = rng.uniform(-10, 100)
+            y1 = rng.uniform(-10, 100)
+            rois[n, r] = [x1, y1, x1 + s * rng.uniform(0.5, 1.5), y1 + s]
+    gathered = tuple(np.asarray(f)[fidx] for f in feats)
+    a = np.asarray(roi_align_fpn_pallas(gathered, rois, interpret=True))
+    b = np.asarray(roi_align_fpn_pallas(
+        feats, rois, frame_idx=jnp.asarray(fidx), interpret=True))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+    # grads: scatter-add back into unique frames
+    import mcgaze_tpu.ops.roi_align_pallas as mod
+    from functools import partial
+    orig = mod.roi_align_fpn_pallas
+    mod.roi_align_fpn_pallas = partial(orig, interpret=True)
+    try:
+        g = jax.grad(lambda f: roi_align_fpn_pallas_gather_diff(
+            f, jnp.asarray(rois), jnp.asarray(fidx)).astype(
+                jnp.float32).sum())(feats)
+    finally:
+        mod.roi_align_fpn_pallas = orig
+    g_ref = jax.grad(lambda f: roi_align_fpn_mm(
+        tuple(x[jnp.asarray(fidx)] for x in f),
+        jnp.asarray(rois)).astype(jnp.float32).sum())(feats)
+    for a_, b_ in zip(g, g_ref):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-5)
