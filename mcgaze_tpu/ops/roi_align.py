@@ -32,11 +32,21 @@ def roi_levels(rois: jnp.ndarray, num_levels: int = 4,
     """FPN level per RoI (reference map_roi_levels, :36-55).
 
     rois: (..., 4) absolute xyxy in input-image coords -> (...,) int32.
+
+    floor(log2(scale/finest + 1e-6)) clipped to [0, L-1], computed as
+    power-of-two comparisons (count of thresholds 2^1..2^{L-1} passed)
+    instead of a float log2 — bit-identical to the pallas kernel's
+    routing (ops/roi_align_pallas.py) at level boundaries, where f32
+    log2 rounding could otherwise route a threshold-straddling box to a
+    different level than the comparison form.
     """
     scale = jnp.sqrt(jnp.clip((rois[..., 2] - rois[..., 0]) *
                               (rois[..., 3] - rois[..., 1]), 0.0, None))
-    lvl = jnp.floor(jnp.log2(scale / finest_scale + 1e-6))
-    return jnp.clip(lvl, 0, num_levels - 1).astype(jnp.int32)
+    v = scale / finest_scale + 1e-6
+    lvl = jnp.zeros(v.shape, jnp.int32)
+    for level in range(1, num_levels):
+        lvl = lvl + (v >= 2.0 ** level).astype(jnp.int32)
+    return lvl
 
 
 @partial(jax.jit, static_argnames=('out_size', 'sampling_ratio',

@@ -41,7 +41,11 @@ class CheckInvalidLoss:
             msg = f'loss became non-finite ({loss}) at iter {step}'
             if self.raise_on_nan:
                 raise FloatingPointError(msg)
-            print('WARNING:', msg)
+            # console output is rank-0-only, like TextLogger (the loss is
+            # global under the jit, so every rank would print the same line)
+            import jax
+            if jax.process_index() == 0:
+                print('WARNING:', msg)
 
 
 class ValidationHook:

@@ -39,6 +39,11 @@ def parse_args():
     p.add_argument('--val-root', default=None,
                    help='val rawframes root (default: from the config)')
     p.add_argument('--val-max-videos', type=int, default=0)
+    p.add_argument('--val-l2cs', action='store_true',
+                   help='score validation with the l2cs GT layout (3 '
+                        'annotation tracks per video, like tools/test.py '
+                        '--l2cs); without it an l2cs-layout val JSON would '
+                        'silently mispair GT and log wrong MAE')
     p.add_argument('--mesh', default=None, metavar='D,M',
                    help='device mesh as data,model axis sizes (e.g. 4,2); '
                         'default: all visible devices on the data axis')
@@ -212,7 +217,8 @@ def main():
                 args.val_json or cfg.data_test.ann_file,
                 args.val_root or cfg.data_test.img_prefix,
                 interval=args.val_interval or cfg.checkpoint_interval,
-                max_videos=args.val_max_videos, work_dir=work_dir)
+                max_videos=args.val_max_videos, l2cs=args.val_l2cs,
+                work_dir=work_dir)
 
     # log from process 0 only (reference: mmcv's rank-0 logger); losses
     # are global under the jit so rank 0's stream is complete, and two
