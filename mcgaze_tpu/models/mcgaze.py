@@ -70,6 +70,10 @@ class ModelConfig:
     loss_iou_weight: float = 2.0
     loss_gaze_weight: float = 6.0
     loss_temp_weight: float = 1.0
+    # per-clue gaze loss: 'arccos' (shipped configs) | 'cos' | 'pinball'
+    # (reference registers all three, losses/__init__.py:21-24; dispatch
+    # table ops/losses.py::GAZE_LOSSES)
+    gaze_loss_type: str = 'arccos'
     focal_gamma: float = 2.0
     focal_alpha: float = 0.25
     stage_loss_weights: Tuple[float, ...] = (1.0, 1.0, 1.0, 1.0)

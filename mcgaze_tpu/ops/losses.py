@@ -8,6 +8,9 @@ dynamic indexing; we multiply by weights instead — identical values):
   * L1 / GIoU           -> mmdet/models/losses/{smooth_l1_loss,iou_loss}.py
   * gaze arccos loss    -> mmdet/models/losses/gaze_arccos_loss.py:56-66
   * gaze temporal loss  -> mmdet/models/losses/gaze_temp_loss.py:57-66
+  * gaze cos loss       -> mmdet/models/losses/gaze_cos_loss.py (1 - cos)
+  * gaze pinball loss   -> mmdet/models/losses/gaze_pinball_loss.py
+                           (quantile 0.1/0.9)
 
 All reductions follow mmcv `weight_reduce_loss`: elementwise loss * weight,
 summed, divided by `avg_factor` (= cross-replica mean of num_pos; under a
@@ -87,6 +90,58 @@ def arccos_gaze_loss(pred: jnp.ndarray,
     angle = jnp.arccos(sim)
     num_pos = jnp.sum(weight)
     return jnp.sum(angle * weight) / jnp.maximum(num_pos, 1.0)
+
+
+def cos_gaze_loss(pred: jnp.ndarray,
+                  target: jnp.ndarray,
+                  weight: jnp.ndarray) -> jnp.ndarray:
+    """Mean (1 - cos) over positive rows (reference GazeCosLoss.forward:
+    cos = sum(pred*target) clamped to [-1, 1], loss = mean(1 - cos) over
+    the gathered positive rows; pred/target arrive unit-normalised from
+    GazeHead, so no norm division).
+
+    pred/target: (N, 3); weight: (N,) 0/1 positivity mask.
+    """
+    cos = jnp.clip(jnp.sum(pred * target, axis=-1), -1.0, 1.0)
+    num_pos = jnp.sum(weight)
+    return jnp.sum((1.0 - cos) * weight) / jnp.maximum(num_pos, 1.0)
+
+
+def pinball_gaze_loss(pred: jnp.ndarray,
+                      target: jnp.ndarray,
+                      weight: jnp.ndarray,
+                      var: jnp.ndarray | float = 0.0,
+                      q: float = 0.1) -> jnp.ndarray:
+    """Quantile (pinball) loss at q/1-q (reference GazePinballLoss.forward:
+    q_10 = target - (pred - var), q_90 = target - (pred + var),
+    loss = mean(max(q*q_10, (q-1)*q_10)) + mean(max((1-q)*q_90, -q*q_90)),
+    each mean over every element of the gathered positive rows).
+
+    `var` is the model's per-component uncertainty; MCGaze's GazeHead
+    predicts none (the reference registers this loss but its shipped heads
+    never feed the `var` argument), so selecting it through a config uses
+    var=0 — then the two quantile terms collapse to a plain L1 mean.
+
+    pred/target: (N, D); weight: (N,) 0/1 positivity mask.
+    """
+    d = pred.shape[-1]
+    q_lo = target - (pred - var)
+    q_hi = target - (pred + var)
+    lo = jnp.maximum(q * q_lo, (q - 1.0) * q_lo)
+    hi = jnp.maximum((1.0 - q) * q_hi, -q * q_hi)
+    denom = jnp.maximum(jnp.sum(weight), 1.0) * d
+    return (jnp.sum(lo * weight[:, None]) +
+            jnp.sum(hi * weight[:, None])) / denom
+
+
+# Config-selectable per-clue gaze losses (reference losses/__init__.py:21-24
+# registers all three; the shipped configs pick GazeArccosLoss). Each maps
+# (pred (N,3), target (N,3), weight (N,)) -> scalar.
+GAZE_LOSSES = {
+    'arccos': arccos_gaze_loss,
+    'cos': cos_gaze_loss,
+    'pinball': pinball_gaze_loss,
+}
 
 
 def temporal_gaze_loss(pred: jnp.ndarray) -> jnp.ndarray:

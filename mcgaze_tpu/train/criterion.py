@@ -50,11 +50,12 @@ def stage_losses(cfg: ModelConfig, stage_out: dict, tg: ClipTargets,
             avg_factor=num_pos)
 
     gaze = stage_out['gaze']
+    gaze_loss = L.GAZE_LOSSES[cfg.gaze_loss_type]
     for qi, clue in enumerate(CLUES):
-        out[f'{clue}_gaze_loss'] = cfg.loss_gaze_weight * L.arccos_gaze_loss(
+        out[f'{clue}_gaze_loss'] = cfg.loss_gaze_weight * gaze_loss(
             gaze[clue], tg.gazes[:, qi], tg.valid[:, qi])
     # fusion trained against the head-slot gaze (gaze_head.py:215).
-    out['final_gaze_loss'] = cfg.loss_gaze_weight * L.arccos_gaze_loss(
+    out['final_gaze_loss'] = cfg.loss_gaze_weight * gaze_loss(
         gaze['fusion'], tg.gazes[:, 2], tg.valid[:, 2])
     out['final_gaze_temp'] = cfg.loss_temp_weight * L.temporal_gaze_loss(
         gaze['fusion'].reshape(-1, clip_length, 3))

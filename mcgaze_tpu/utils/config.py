@@ -97,6 +97,9 @@ def _translate_legacy(ns: dict) -> Config:
         focal_alpha=bh.get('loss_cls', {}).get('alpha', 0.25),
         loss_gaze_weight=gh.get('loss_gaze', {}).get('loss_weight', 6.0),
         loss_temp_weight=gh.get('loss_temp', {}).get('loss_weight', 1.0),
+        gaze_loss_type={'GazeArccosLoss': 'arccos', 'GazeCosLoss': 'cos',
+                        'GazePinballLoss': 'pinball'}[
+            gh.get('loss_gaze', {}).get('type', 'GazeArccosLoss')],
         stage_loss_weights=tuple(
             roi.get('stage_loss_weights', [1.0] * num_stages)),
     )

@@ -65,6 +65,68 @@ def test_arccos_matches_torch_gather_then_mean():
     assert ours == pytest.approx(ref, rel=1e-4)
 
 
+def test_cos_matches_torch_gather_then_mean():
+    """Reference GazeCosLoss.forward: cos = sum(pred*target) clamped to
+    [-1, 1], loss = (1 - cos).mean() over the gathered positive rows."""
+    rng = np.random.RandomState(4)
+    n = 30
+    pred = rng.randn(n, 3).astype(np.float32)
+    pred /= np.linalg.norm(pred, axis=1, keepdims=True)
+    tgt = rng.randn(n, 3).astype(np.float32)
+    tgt /= np.linalg.norm(tgt, axis=1, keepdims=True)
+    mask = (rng.rand(n) > 0.3).astype(np.float32)
+
+    ours = float(losses.cos_gaze_loss(pred, tgt, mask))
+    p = torch.from_numpy(pred[mask > 0])
+    t = torch.from_numpy(tgt[mask > 0])
+    cos = torch.sum(p * t, dim=-1)
+    cos[cos > 1] = 1
+    cos[cos < -1] = -1
+    ref = (1 - cos).mean().item()
+    assert ours == pytest.approx(ref, rel=1e-5)
+
+
+def test_pinball_matches_torch_formula():
+    """Reference GazePinballLoss.forward with q1=0.1:
+    loss = mean(max(.1*q10, -.9*q10)) + mean(max(.9*q90, -.1*q90)),
+    q10 = target - (pred - var), q90 = target - (pred + var)."""
+    rng = np.random.RandomState(5)
+    n = 24
+    pred = rng.randn(n, 3).astype(np.float32)
+    tgt = rng.randn(n, 3).astype(np.float32)
+    var = np.abs(rng.randn(n, 3)).astype(np.float32) * 0.2
+    mask = (rng.rand(n) > 0.3).astype(np.float32)
+
+    ours = float(losses.pinball_gaze_loss(pred, tgt, mask, var=var))
+    p = torch.from_numpy(pred[mask > 0])
+    t = torch.from_numpy(tgt[mask > 0])
+    v = torch.from_numpy(var[mask > 0])
+    q1, q9 = 0.1, 0.9
+    q_10 = t - (p - v)
+    q_90 = t - (p + v)
+    loss_10 = torch.max(q1 * q_10, (q1 - 1) * q_10).mean()
+    loss_90 = torch.max(q9 * q_90, (q9 - 1) * q_90).mean()
+    ref = (loss_10 + loss_90).item()
+    assert ours == pytest.approx(ref, rel=1e-5)
+
+
+def test_pinball_zero_var_is_l1_mean():
+    rng = np.random.RandomState(6)
+    pred = rng.randn(10, 3).astype(np.float32)
+    tgt = rng.randn(10, 3).astype(np.float32)
+    mask = np.ones(10, np.float32)
+    ours = float(losses.pinball_gaze_loss(pred, tgt, mask))
+    assert ours == pytest.approx(float(np.abs(pred - tgt).mean()), rel=1e-5)
+
+
+def test_fully_masked_gaze_losses_are_zero():
+    pred = np.ones((6, 3), np.float32)
+    tgt = np.ones((6, 3), np.float32) * 0.5
+    mask = np.zeros(6, np.float32)
+    for name, fn in losses.GAZE_LOSSES.items():
+        assert float(fn(pred, tgt, mask)) == 0.0, name
+
+
 def test_temporal_matches_torch():
     rng = np.random.RandomState(3)
     b, t = 4, 7
