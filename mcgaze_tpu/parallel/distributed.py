@@ -10,8 +10,9 @@ TPU-native replacements for the reference's torch.distributed machinery
   * shard_across_processes  <- rank-sharded eval sampler
                                (apis/test.py:81-135 multi_gpu_test)
   * gather_objects          <- collect_results_cpu tmpdir-pickle gather
-                               (apis/test.py:136-178); here a fixed-size
+                               (apis/test.py:136-178); here a two-phase
                                pickled-bytes allgather over the ICI
+                               (size exchange, then exact-size payload)
   * assert_same_structure   <- the DDP loss-key consistency check
                                (detectors/base.py:202-209)
 
@@ -136,30 +137,29 @@ def shard_across_processes(items: Sequence[Any]) -> List[Any]:
     return list(items[process_index()::process_count()])
 
 
-def gather_objects(local: List[Any], max_bytes: int = 1 << 24) -> List[Any]:
+def gather_objects(local: List[Any]) -> List[Any]:
     """Allgather arbitrary picklable per-process lists; returns the global
     list ordered by process, interleave-restored to match
     shard_across_processes (rank-strided) order.
 
-    Implementation: pickle -> fixed-size uint8 buffer -> process_allgather
-    (the reference gathers via tmpdir files or NCCL byte tensors,
-    apis/test.py:136-209)."""
+    Two-phase, no size cap (the reference's collect_results_cpu tmpdir
+    gather is similarly unbounded, apis/test.py:136-209): an 8-byte size
+    allgather first, then one payload allgather padded only to the
+    LARGEST process's pickle — a full Gaze360 result list (per-frame
+    boxes+gazes for every video on one rank) can exceed any fixed cap."""
     if process_count() == 1:
         return list(local)
     from jax.experimental import multihost_utils
-    payload = pickle.dumps(local)
-    if len(payload) + 8 > max_bytes:
-        raise ValueError(f'gather_objects payload {len(payload)}B exceeds '
-                         f'max_bytes={max_bytes}; raise the cap')
-    buf = np.zeros((max_bytes,), np.uint8)
-    buf[:8] = np.frombuffer(
-        np.uint64(len(payload)).tobytes(), np.uint8)
-    buf[8:8 + len(payload)] = np.frombuffer(payload, np.uint8)
-    gathered = multihost_utils.process_allgather(buf)   # (P, max_bytes)
+    payload = np.frombuffer(pickle.dumps(local), np.uint8)
+    sizes = multihost_utils.process_allgather(
+        np.asarray([payload.size], np.int64))           # (P, 1)
+    buf = np.zeros((int(sizes.max()),), np.uint8)
+    buf[:payload.size] = payload
+    gathered = multihost_utils.process_allgather(buf)   # (P, max(sizes))
     per_proc = []
     for p in range(gathered.shape[0]):
-        size = int(np.frombuffer(gathered[p, :8].tobytes(), np.uint64)[0])
-        per_proc.append(pickle.loads(gathered[p, 8:8 + size].tobytes()))
+        size = int(sizes[p, 0])
+        per_proc.append(pickle.loads(gathered[p, :size].tobytes()))
     # restore global order for rank-strided sharding
     out = []
     n_total = sum(len(x) for x in per_proc)

@@ -37,8 +37,22 @@ WORKER = textwrap.dedent("""
     items = [dict(video_id=i, mae=float(i)) for i in range(7)]
     local = D.shard_across_processes(items)
     assert len(local) == (4 if pi == 0 else 3)
-    gathered = D.gather_objects(local, max_bytes=1 << 16)
+    gathered = D.gather_objects(local)
     assert gathered == items, gathered
+
+    # >16 MiB per-process payload (the round-2 fixed-cap limit) with
+    # UNEQUAL sizes across processes: the two-phase gather negotiates
+    # exact sizes instead of a fixed buffer
+    rng = np.random.RandomState(pi)
+    big_local = [rng.randint(0, 256, (17 << 20) + pi * 1000,
+                             np.uint8)]
+    big = D.gather_objects(big_local)
+    assert len(big) == 2
+    for p in range(2):
+        exp = np.random.RandomState(p).randint(
+            0, 256, (17 << 20) + p * 1000, np.uint8)
+        assert big[p].shape == exp.shape
+        assert (big[p] == exp).all()
 
     D.assert_same_structure({'a': np.zeros((2, 3)), 'b': np.ones(4)},
                             'logs')
