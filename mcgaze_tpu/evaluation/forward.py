@@ -84,25 +84,29 @@ def make_eval_forward(model_cfg, canvas=(224, 224), init_variables=True):
 
 
 def bind_forward(fwd, variables, fwd_dedup=None):
-    """Close fwd over a fixed variables pytree, numpy in/out (the
-    VideoGazeEvaluator forward_fn signature). When fwd_dedup is given it
-    is attached as forward.dedup(frames (U,...), sel (K*T,), whwh_u
-    (U,4), t) and the driver prefers it (EvalConfig.dedup_frames)."""
+    """Close fwd over a fixed variables pytree (the VideoGazeEvaluator
+    forward_fn signature). When fwd_dedup is given it is attached as
+    forward.dedup(frames (U,...), sel (K*T,), whwh_u (U,4), t) and the
+    driver prefers it (EvalConfig.dedup_frames).
+
+    Outputs are returned as DEVICE arrays (not forced to numpy): jit
+    dispatch is async, so the driver can submit every chunk of a video
+    and pay one device->host sync when it np.asarray's the results
+    (driver._submit_clips/_collect_clips)."""
     import jax.numpy as jnp
 
     def forward(imgs, whwh, t):
-        boxes, scores, gaze = fwd(variables, jnp.asarray(imgs),
-                                  jnp.asarray(whwh), t)
-        return (np.asarray(boxes), np.asarray(scores),
-                {k: np.asarray(v) for k, v in gaze.items()})
+        return fwd(variables, jnp.asarray(imgs), jnp.asarray(whwh), t)
+
+    # the jitted fwd normalizes uint8 inputs on-device (normalize()
+    # above), so the driver may ship raw u8 frames (EvalConfig.ship_uint8)
+    forward.accepts_uint8 = True
 
     if fwd_dedup is not None:
         def dedup(frames, sel, whwh_u, t):
-            boxes, scores, gaze = fwd_dedup(
-                variables, jnp.asarray(frames),
-                jnp.asarray(sel, jnp.int32), jnp.asarray(whwh_u), t)
-            return (np.asarray(boxes), np.asarray(scores),
-                    {k: np.asarray(v) for k, v in gaze.items()})
+            return fwd_dedup(variables, jnp.asarray(frames),
+                             jnp.asarray(sel, jnp.int32),
+                             jnp.asarray(whwh_u), t)
 
         forward.dedup = dedup
     return forward

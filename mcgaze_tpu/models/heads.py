@@ -66,11 +66,14 @@ class _DenseParams(nn.Module):
     the per-path init RNG draws) identical to the unfused nn.Dense."""
     in_features: int
     out_features: int
+    use_bias: bool = True
 
     @nn.compact
     def __call__(self):
         k = self.param('kernel', nn.initializers.lecun_normal(),
                        (self.in_features, self.out_features))
+        if not self.use_bias:
+            return (k,)
         b = self.param('bias', nn.initializers.zeros, (self.out_features,))
         return k, b
 
@@ -83,6 +86,64 @@ class _LayerNormParams(nn.Module):
         s = self.param('scale', nn.initializers.ones, (self.features,))
         b = self.param('bias', nn.initializers.zeros, (self.features,))
         return s, b
+
+
+class _MLPTowerParams(nn.Module):
+    """Param tree of MLPTower (fc{i} Dense-no-bias + ln{i} LayerNorm)
+    WITHOUT computing — the batched-clue path stacks the per-clue kernels
+    and runs ONE batched GEMM per layer. Same names/shapes as MLPTower,
+    so the init RNG draws and every checkpoint remain identical."""
+    features: int
+    num_layers: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        layers = []
+        fin = self.in_features
+        for i in range(self.num_layers):
+            (k,) = _DenseParams(fin, self.features, use_bias=False,
+                                name=f'fc{i}')()
+            s, b = _LayerNormParams(self.features, name=f'ln{i}')()
+            layers.append((k, s, b))
+            fin = self.features
+        return layers
+
+
+def _layer_norm(x32, scale, bias, eps=LN_EPS):
+    """LayerNorm over the last dim in fp32 (matches nn.LayerNorm, whose
+    statistics are computed in at-least-float32)."""
+    mean = jnp.mean(x32, -1, keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(x32 * x32, -1, keepdims=True) - mean * mean, 0.0)
+    return (x32 - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def _batched_towers(x, towers, dtype):
+    """x: (N, Q, C); towers: per-clue list of _MLPTowerParams layer lists.
+    Runs the Q per-clue MLP towers as one batched GEMM + per-clue
+    LayerNorm per layer (Q=3 towers of identical shape -> a single
+    (Q, C, C') bmm the MXU executes in one dispatch, instead of Q
+    separate Dense calls; the heads path is latency-bound)."""
+    q = len(towers)
+    for li in range(len(towers[0])):
+        kern = jnp.stack([t[li][0] for t in towers]).astype(dtype)
+        scale = jnp.stack([t[li][1] for t in towers])[None]
+        bias = jnp.stack([t[li][2] for t in towers])[None]
+        y = jnp.einsum('nqc,qcd->nqd', x.astype(dtype), kern,
+                       preferred_element_type=jnp.float32)
+        x = nn.relu(_layer_norm(y, scale, bias)).astype(dtype)
+    return x
+
+
+def _batched_heads(x, heads, dtype):
+    """x: (N, Q, C); heads: per-clue (kernel, bias) from _DenseParams.
+    One (Q, C, O) batched GEMM replacing Q tiny Dense calls."""
+    kern = jnp.stack([h[0] for h in heads]).astype(dtype)
+    bias = jnp.stack([h[1] for h in heads]).astype(dtype)
+    return (jnp.einsum('nqc,qco->nqo', x.astype(dtype), kern,
+                       preferred_element_type=jnp.float32).astype(dtype)
+            + bias[None])
 
 
 class MLPTower(nn.Module):
@@ -146,6 +207,7 @@ class STQIHead(nn.Module):
     num_cls_fcs: int = 1
     num_reg_fcs: int = 3
     fused_attention: bool = False
+    batched_clues: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -217,17 +279,23 @@ class STQIHead(nn.Module):
                             name='cls_tower')(obj).reshape(n, nq, c)
         reg_feat = MLPTower(c, self.num_reg_fcs, dtype=self.dtype,
                             name='reg_tower')(obj).reshape(n, nq, c)
-        cls_logits = []
-        deltas = []
-        for i, clue in enumerate(('face', 'eyes', 'head')[:nq]):
-            cls_logits.append(
-                nn.Dense(1, dtype=self.dtype,
-                         name=f'{clue}_fc_cls')(cls_feat[:, i]))
-            deltas.append(
-                nn.Dense(4, dtype=self.dtype,
-                         name=f'{clue}_fc_reg')(reg_feat[:, i]))
-        cls_logits = jnp.stack(cls_logits, axis=1)          # (N, Q, 1)
-        deltas = jnp.stack(deltas, axis=1)                  # (N, Q, 4)
+        clues = ('face', 'eyes', 'head')[:nq]
+        if self.batched_clues:
+            cls_heads = [_DenseParams(c, 1, name=f'{clue}_fc_cls')()
+                         for clue in clues]
+            reg_heads = [_DenseParams(c, 4, name=f'{clue}_fc_reg')()
+                         for clue in clues]
+            cls_logits = _batched_heads(cls_feat, cls_heads, self.dtype)
+            deltas = _batched_heads(reg_feat, reg_heads, self.dtype)
+        else:
+            cls_logits = jnp.stack(
+                [nn.Dense(1, dtype=self.dtype,
+                          name=f'{clue}_fc_cls')(cls_feat[:, i])
+                 for i, clue in enumerate(clues)], axis=1)  # (N, Q, 1)
+            deltas = jnp.stack(
+                [nn.Dense(4, dtype=self.dtype,
+                          name=f'{clue}_fc_reg')(reg_feat[:, i])
+                 for i, clue in enumerate(clues)], axis=1)  # (N, Q, 4)
         return cls_logits, deltas, obj.reshape(n, nq, c)
 
 
@@ -235,6 +303,7 @@ class GazeHead(nn.Module):
     """Per-clue gaze regression + confidence-weighted fusion."""
     channels: int = 256
     gaze_dim: int = 3
+    batched_clues: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -242,6 +311,39 @@ class GazeHead(nn.Module):
         """obj_feat: (N, Q=3, C) -> dict of unit gaze vectors (N, 3)."""
         eps_free_norm = lambda v: v / jnp.linalg.norm(v, axis=-1,
                                                       keepdims=True)
+        if self.batched_clues:
+            # Same params, one (3, C, C') bmm per tower layer instead of
+            # three Dense calls (reference towers at gaze_head.py:71-107
+            # are identical shapes per clue).
+            c = self.channels
+            clues = ('face', 'eyes', 'head')
+            towers_g = [_MLPTowerParams(c, 2, c, name=f'gaze_{clue}_fcs')()
+                        for clue in clues]
+            heads_g = [_DenseParams(c, 3, name=f'fc_{clue}')()
+                       for clue in clues]
+            towers_c = [_MLPTowerParams(c, 2, c,
+                                        name=f'gaze_{clue}_confidence')()
+                        for clue in clues]
+            heads_c = [_DenseParams(c, self.gaze_dim,
+                                    name=f'fc_{clue}_confidence')()
+                       for clue in clues]
+            g = _batched_towers(obj_feat, towers_g, self.dtype)
+            gazes_q = _batched_heads(g, heads_g, self.dtype)   # (N, 3, 3)
+            # Confidence towers see DETACHED features (gaze_head.py:168).
+            f = _batched_towers(jax.lax.stop_gradient(obj_feat),
+                                towers_c, self.dtype)
+            confs_q = _batched_heads(f, heads_c, self.dtype)   # (N, 3, 3)
+            n = obj_feat.shape[0]
+            # (N, Q, 3) -> (N, 9) q-major == concat([c_i * g_i], -1)
+            fused_in = (confs_q * gazes_q).reshape(n, 3 * 3)
+            fusion = nn.Dense(3, dtype=self.dtype,
+                              name='fc_gaze')(fused_in)
+            return dict(
+                fusion=eps_free_norm(fusion),
+                face=eps_free_norm(gazes_q[:, 0]),
+                eyes=eps_free_norm(gazes_q[:, 1]),
+                head=eps_free_norm(gazes_q[:, 2]),
+            )
         gazes = []
         confs = []
         for i, clue in enumerate(('face', 'eyes', 'head')):

@@ -52,6 +52,12 @@ class ModelConfig:
     # kernel (ops/stqi_attention.py). Param tree is unchanged, so the flag
     # can flip on a loaded checkpoint.
     fused_attention: bool = False
+    # Run the per-clue cls/reg heads and the GazeHead gaze/confidence
+    # towers as ONE (3, C, C') batched GEMM per layer instead of three
+    # Dense calls (models/heads.py::_batched_towers) — the heads path is
+    # latency-bound, not FLOPs-bound. Param tree unchanged; the flag can
+    # flip on a loaded checkpoint.
+    batched_clue_heads: bool = False
     # RoIAlign implementation: 'mm' (one-hot XLA matmuls), 'pallas'
     # (fused per-frame VMEM kernel, ops/roi_align_pallas.py — measured
     # faster on TPU), or 'auto' (pallas on TPU, mm elsewhere). All three
@@ -123,10 +129,12 @@ class MCGazeModel(nn.Module):
                      roi_size=cfg.roi_size, num_queries=q,
                      num_cls_fcs=cfg.num_cls_fcs,
                      num_reg_fcs=cfg.num_reg_fcs,
-                     fused_attention=cfg.fused_attention, dtype=dtype)
+                     fused_attention=cfg.fused_attention,
+                     batched_clues=cfg.batched_clue_heads, dtype=dtype)
             for _ in range(cfg.num_stages))
         self.gaze_head = tuple(
-            GazeHead(cfg.channels, cfg.gaze_dim, dtype=dtype)
+            GazeHead(cfg.channels, cfg.gaze_dim,
+                     batched_clues=cfg.batched_clue_heads, dtype=dtype)
             for _ in range(cfg.num_stages))
 
     def extract_features(self, imgs: jnp.ndarray) -> tuple:

@@ -81,12 +81,10 @@ class ValidationHook:
         from ..evaluation.mae import evaluate_results
         evaluator = self._make_eval(
             self._bind(self._fwd, variables, self._fwd_dedup))
-        results = []
-        for video in self.videos:
-            paths = [osp.join(self.img_root, n)
-                     for n in video['file_names']]
-            results.append(evaluator.run_video_from_paths(paths,
-                                                          video['id']))
+        results = list(evaluator.run_videos_from_paths(
+            (video['id'], [osp.join(self.img_root, n)
+                           for n in video['file_names']])
+            for video in self.videos))
         return evaluate_results(results, self.anno, l2cs=self.l2cs)
 
     def after_iter(self, step: int, state) -> Optional[Dict[str, float]]:

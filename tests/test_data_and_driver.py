@@ -336,3 +336,51 @@ def test_dedup_forward_matches_plain_driver_path():
                 assert b1 == b2
             else:
                 np.testing.assert_allclose(b1, b2, atol=1e-3)
+
+
+def test_run_videos_pipelined_matches_serial(synth):
+    """The decode-ahead pipeline (run_videos_from_paths) must yield
+    exactly the per-video results of serial run_video_from_paths, in
+    input order."""
+    _, ann, prefix = synth
+    all_videos = json.load(open(ann))['videos']
+
+    cfg = EvalConfig(scale=(32, 32), canvas=(32, 32), crop_ratio=0.84,
+                     clip_batch=2)
+
+    def forward(imgs, whwh, t):
+        k = imgs.shape[0]
+        boxes = np.tile(np.asarray([[2., 2., 8., 8.]], np.float32),
+                        (k, 3, 1)).reshape(k, 3, 4)
+        scores = np.full((k, 3), 0.9, np.float32)
+        g = imgs.mean(axis=(1, 2))          # content-dependent
+        g = g / np.linalg.norm(g, axis=-1, keepdims=True)
+        return boxes, scores, dict(fusion=g, face=g, eyes=g, head=g)
+
+    ev = VideoGazeEvaluator(forward, cfg)
+    pairs = [(v['id'], [osp.join(prefix, n) for n in v['file_names']])
+             for v in all_videos]
+    serial = [ev.run_video_from_paths(paths, vid) for vid, paths in pairs]
+    piped = list(ev.run_videos_from_paths(iter(pairs)))
+    assert [r['video_id'] for r in piped] == [v['id'] for v in all_videos]
+    for a, b in zip(serial, piped):
+        assert a == b
+
+
+def test_run_videos_pipeline_propagates_decode_errors(synth):
+    _, ann, prefix = synth
+    video = json.load(open(ann))['videos'][0]
+    cfg = EvalConfig(scale=(32, 32), canvas=(32, 32), crop_ratio=0.84)
+
+    def forward(imgs, whwh, t):
+        k = imgs.shape[0]
+        g = np.tile(np.asarray([[0., 0., -1.]], np.float32), (k, 1))
+        return (np.zeros((k, 3, 4), np.float32),
+                np.ones((k, 3), np.float32),
+                dict(fusion=g, face=g, eyes=g, head=g))
+
+    ev = VideoGazeEvaluator(forward, cfg)
+    good = [osp.join(prefix, n) for n in video['file_names']]
+    bad = good[:3] + [osp.join(prefix, 'missing/00042.png')] + good[4:]
+    with pytest.raises(Exception):
+        list(ev.run_videos_from_paths([(1, good), (2, bad)]))

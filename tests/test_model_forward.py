@@ -128,3 +128,43 @@ def test_split_methods_match_call(tiny_model):
         v, f, w, method=MCGazeModel.run_heads))(variables, feats, whwh)
     jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, atol=1e-6),
                  ref, out)
+
+
+def test_batched_clue_heads_match_unbatched(tiny_model):
+    """batched_clue_heads=True must share the exact param tree and
+    reproduce the per-clue Dense/LN math (one (3,C,C') bmm per layer
+    instead of three Denses) at fp32 tolerance — the flag can flip on a
+    loaded checkpoint."""
+    import dataclasses
+
+    cfg, model, variables, apply = tiny_model
+    cfg_b = dataclasses.replace(cfg, batched_clue_heads=True)
+    model_b = MCGazeModel(cfg_b)
+
+    n = cfg.clip_length
+    imgs = jax.random.normal(jax.random.PRNGKey(3), (n, 64, 64, 3))
+    whwh = jnp.tile(jnp.asarray([[64., 64., 64., 64.]]), (n, 1))
+
+    # identical param tree (incl. init values: flax derives param RNG from
+    # the path, and every name/shape is unchanged)
+    init_b = jax.eval_shape(model_b.init, jax.random.PRNGKey(0), imgs,
+                            whwh)
+    assert (jax.tree_util.tree_structure(init_b['params']) ==
+            jax.tree_util.tree_structure(variables['params']))
+
+    out_a = apply(variables, imgs, whwh)
+    out_b = jax.jit(model_b.apply)(variables, imgs, whwh)
+    for si, (sa, sb) in enumerate(zip(out_a['stages'], out_b['stages'])):
+        np.testing.assert_allclose(np.asarray(sa['cls_logits']),
+                                   np.asarray(sb['cls_logits']),
+                                   atol=2e-4, err_msg=f'stage{si} cls')
+        # boxes compound GEMM-reassociation noise through exp() in the
+        # delta decode and the stage feedback -> relative tolerance
+        np.testing.assert_allclose(np.asarray(sa['boxes']),
+                                   np.asarray(sb['boxes']),
+                                   rtol=2e-4, atol=2e-3,
+                                   err_msg=f'stage{si} boxes')
+        for k in ('fusion', 'face', 'eyes', 'head'):
+            np.testing.assert_allclose(
+                np.asarray(sa['gaze'][k]), np.asarray(sb['gaze'][k]),
+                atol=2e-4, err_msg=f'stage{si} {k}')

@@ -87,12 +87,22 @@ def test_ship_uint8_eval_matches_f32(cfg_on_disk):
         g = g / np.linalg.norm(g, axis=-1, keepdims=True)
         return boxes, scores, dict(fusion=g, face=g, eyes=g, head=g)
 
+    # the u8 fast path additionally requires the forward to declare it
+    # normalizes uint8 itself (bind_forward sets this on the real CLIs)
+    forward.accepts_uint8 = True
+
     base = dict(scale=(32, 32), canvas=(32, 32), crop_ratio=0.84,
                 clip_batch=2)
-    a = VideoGazeEvaluator(forward, EvalConfig(**base)) \
+    a = VideoGazeEvaluator(forward, EvalConfig(ship_uint8=False, **base)) \
         .run_video_from_paths(paths, video['id'])
     b = VideoGazeEvaluator(forward, EvalConfig(ship_uint8=True, **base)) \
         .run_video_from_paths(paths, video['id'])
+    # the flag + declaration actually routed u8 (guard against silently
+    # falling back to f32 and passing trivially)
+    imgs, _, _, _ = VideoGazeEvaluator(
+        forward, EvalConfig(ship_uint8=True, **base))._decode_video(
+            paths, video['id'])
+    assert np.asarray(imgs).dtype == np.uint8
     np.testing.assert_allclose(np.asarray(a['fusion_gazes']),
                                np.asarray(b['fusion_gazes']), atol=1e-5)
     np.testing.assert_allclose(

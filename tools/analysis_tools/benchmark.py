@@ -45,6 +45,18 @@ def main():
                          'stitch) over fabricated rawframe videos when '
                          'the dataset is absent')
     ap.add_argument('--e2e-videos', type=int, default=8)
+    ap.add_argument('--serial', action='store_true',
+                    help='disable the decode-ahead pipeline in --e2e '
+                         '(A/B the run_videos_from_paths overlap win)')
+    ap.add_argument('--ship-uint8', action='store_true',
+                    help='with --e2e: ship raw uint8 frames and '
+                         'normalize on-device (4x less host->device '
+                         'traffic; EvalConfig.ship_uint8)')
+    ap.add_argument('--decode-only', action='store_true',
+                    help='with --e2e: measure host decode+preprocess '
+                         'alone — the host-bound roofline the pipelined '
+                         'path should sit at when the chip is faster '
+                         'than the decoder')
     ap.add_argument('--e2e-frames', type=int, default=56,
                     help='frames per fabricated video')
     args = ap.parse_args()
@@ -127,7 +139,8 @@ def bench_e2e(args):
 
     cfg = load_config(args.config)
     eval_cfg = dataclasses.replace(cfg.eval_cfg, clip_batch=args.batch,
-                                   dedup_frames=not args.no_dedup)
+                                   dedup_frames=not args.no_dedup,
+                                   ship_uint8=args.ship_uint8)
     evaluator = VideoGazeEvaluator(
         build_forward(cfg, args.checkpoint, args.dtype), eval_cfg)
 
@@ -147,21 +160,46 @@ def bench_e2e(args):
             paths = []
             for f in range(args.e2e_frames):
                 p = osp.join(d, f'{f:05d}.png')
-                cv2.imwrite(p, rng.randint(0, 255, (480, 640, 3),
-                                           np.uint8))
+                # natural-image-like content (smooth + local texture):
+                # raw noise PNGs barely compress and overstate decode
+                # cost ~3x vs camera frames
+                img = cv2.GaussianBlur(
+                    rng.randint(0, 255, (480, 640, 3), np.uint8),
+                    (0, 0), 3.0)
+                cv2.imwrite(p, img)
                 paths.append(p)
             videos.append((vid, paths))
+
+    if args.decode_only:
+        evaluator._decode_video(videos[0][1], videos[0][0])  # warm cache
+        t0 = time.perf_counter()
+        frames = 0
+        for vid, paths in videos:
+            evaluator._decode_video(paths, vid)
+            frames += len(paths)
+        dt = time.perf_counter() - t0
+        t = cfg.model.clip_length
+        print(f'E2E decode-only roofline: {frames / dt:.1f} frames/s '
+              f'({frames / dt / t:.1f} clips/s equivalent, {len(videos)} '
+              f'videos, {frames} frames, {dt:.2f}s total)')
+        return
 
     # warmup: compile every clip-batch shape on the first video
     evaluator.run_video_from_paths(videos[0][1], videos[0][0])
     t0 = time.perf_counter()
     frames = 0
-    for vid, paths in videos:
-        evaluator.run_video_from_paths(paths, vid)
-        frames += len(paths)
+    if args.serial:
+        for vid, paths in videos:
+            evaluator.run_video_from_paths(paths, vid)
+            frames += len(paths)
+    else:
+        for res, (vid, paths) in zip(
+                evaluator.run_videos_from_paths(videos), videos):
+            frames += len(paths)
     dt = time.perf_counter() - t0
     t = cfg.model.clip_length
-    print(f'E2E eval path: {frames / dt:.1f} frames/s '
+    mode = 'serial' if args.serial else 'pipelined'
+    print(f'E2E eval path ({mode}): {frames / dt:.1f} frames/s '
           f'({frames / dt / t:.1f} clips/s equivalent, {len(videos)} '
           f'videos, {frames} frames, {dt:.2f}s total)')
 

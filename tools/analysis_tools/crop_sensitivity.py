@@ -139,6 +139,12 @@ def main():
     ap.add_argument('--iters', type=int, default=300)
     ap.add_argument('--videos', type=int, default=12)
     ap.add_argument('--frames', type=int, default=24)
+    ap.add_argument('--train-dtype', default=None,
+                    help='override model.dtype for the TRAINING run only '
+                         '(e.g. bfloat16); params stay float32 '
+                         '(flax param_dtype), so the checkpoint scores '
+                         'through the identical f32 eval path — '
+                         'apples-to-apples vs the f32 burn-in MAE')
     args = ap.parse_args()
 
     os.makedirs(args.work, exist_ok=True)
@@ -149,8 +155,13 @@ def main():
         f.write(CFG.format(iters=args.iters, step=int(args.iters * 0.8),
                            ann=ann, prefix=prefix, work_dir=work_dir))
 
-    print(f'training {args.iters} iters ...', flush=True)
-    run(['tools/train.py', cfg_path])
+    print(f'training {args.iters} iters '
+          f'(dtype {args.train_dtype or "config default (float32)"}) ...',
+          flush=True)
+    train_args = ['tools/train.py', cfg_path]
+    if args.train_dtype:
+        train_args += ['--cfg-options', f'model.dtype={args.train_dtype}']
+    run(train_args)
     ckpt = osp.join(work_dir, f'ckpt_{args.iters}')
 
     out = {}

@@ -64,10 +64,11 @@ def main():
         videos = videos[:args.max_videos]
     videos = shard_across_processes(videos)
 
-    results = []
-    for video in videos:
-        paths = [osp.join(args.root, name) for name in video['file_names']]
-        results.append(evaluator.run_video_from_paths(paths, video['id']))
+    # pipelined: decode of video N+1 overlaps video N's device forwards
+    results = list(evaluator.run_videos_from_paths(
+        (video['id'],
+         [osp.join(args.root, name) for name in video['file_names']])
+        for video in videos))
     results = gather_objects(results)
     if process_index() != 0:
         return

@@ -89,10 +89,15 @@ def main():
     results = []
     t0 = time.time()
     total_frames = 0
-    for i, video in enumerate(videos):
-        paths = [osp.join(args.root, name) for name in video['file_names']]
-        results.append(evaluator.run_video_from_paths(paths, video['id']))
-        total_frames += len(paths)
+    # pipelined: decode of video N+1 runs in a background thread (C++
+    # pool) while video N's clips forward on the device
+    stream = evaluator.run_videos_from_paths(
+        (video['id'],
+         [osp.join(args.root, name) for name in video['file_names']])
+        for video in videos)
+    for i, (video, res) in enumerate(zip(videos, stream)):
+        results.append(res)
+        total_frames += len(video['file_names'])
         if (i + 1) % 50 == 0:
             print(f'{i + 1}/{len(videos)} videos, '
                   f'{total_frames / (time.time() - t0):.1f} frames/s')
