@@ -61,6 +61,31 @@ def param_shardings(mesh: Mesh, params: Any):
     return jax.tree_util.tree_map_with_path(assign, params)
 
 
+def opt_state_shardings(mesh: Mesh, opt_state: Any, params: Any):
+    """Sharding tree for an optax state: per-param moments (mu/nu — any
+    leaf whose tree path ends with a param's full path) follow that
+    param's TP sharding; scalar counts etc. are replicated.
+
+    Required for AOT-compiled multi-process training with a model axis:
+    the compiled step's OUTPUT moments follow the param shardings (XLA
+    propagation), so feeding replicated moments back in trips the AOT
+    input-sharding check at the second step (found by
+    tests/test_multiprocess.py::test_train_cli_two_process_validation —
+    single-process jit silently re-lowers instead)."""
+    flat = jax.tree_util.tree_flatten_with_path(
+        param_shardings(mesh, params))[0]
+    by_suffix = [(jax.tree_util.keystr(path), sh) for path, sh in flat]
+
+    def assign(path, leaf):
+        ks = jax.tree_util.keystr(path)
+        for suffix, sh in by_suffix:
+            if ks.endswith(suffix):
+                return sh
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(assign, opt_state)
+
+
 def batch_sharding(mesh: Mesh):
     """Shard the leading (batch-of-clips) dim over 'data'."""
     return NamedSharding(mesh, P('data'))

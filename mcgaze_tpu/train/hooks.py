@@ -48,6 +48,24 @@ class CheckInvalidLoss:
                 print('WARNING:', msg)
 
 
+def _host_local_leaf(x):
+    """A live training param leaf -> a single-local-device array the
+    (unsharded) eval jit can consume. Replicated leaves read their local
+    replica; TP-sharded leaves (FFN/DynamicConv under the model axis) are
+    first resharded to replicated — a compiled allgather every process
+    executes together, since all processes validate at the same iter."""
+    import jax
+    if not isinstance(x, jax.Array):
+        return x
+    if not x.is_fully_replicated:
+        from jax.sharding import NamedSharding, PartitionSpec
+        x = jax.jit(
+            lambda a: a,
+            out_shardings=NamedSharding(x.sharding.mesh,
+                                        PartitionSpec()))(x)
+    return x.addressable_data(0)
+
+
 class ValidationHook:
     """EvalHook analogue: run the video eval driver on the val set every
     `interval` iterations with the LIVE training params and log MAE.
@@ -56,6 +74,11 @@ class ValidationHook:
     (tools/train.py:36-38 `--no-validate` defaults True; EvalHook registered
     in apis/train.py:173-186 only when validate=True) — same here: built
     only when tools/train.py is given --validate.
+
+    Multi-process: the video list is rank-sharded, per-rank results are
+    gathered (reference multi_gpu_test + EvalHook flow), and rank 0
+    scores + logs; every rank participates in evaluate() each interval
+    (the TP reshard and the gather are collectives).
     """
 
     def __init__(self, cfg, json_path: str, img_root: str,
@@ -63,28 +86,46 @@ class ValidationHook:
                  l2cs: bool = False, work_dir: Optional[str] = None):
         from ..evaluation.driver import VideoGazeEvaluator
         from ..evaluation.forward import bind_forward, make_eval_forward
+        from ..parallel.distributed import (process_index,
+                                            shard_across_processes)
 
         self.interval = interval
         self.l2cs = l2cs
+        self.rank0 = process_index() == 0
         self.path = (osp.join(work_dir, 'val_log.jsonl')
-                     if work_dir else None)
+                     if work_dir and self.rank0 else None)
         self.anno = json.load(open(json_path))
         videos = self.anno['videos']
         self.videos = videos[:max_videos] if max_videos else videos
+        self.local_videos = shard_across_processes(self.videos)
         self.img_root = img_root
         _model, _vars, self._fwd, self._fwd_dedup = make_eval_forward(
             cfg.model, cfg.eval_cfg.canvas, init_variables=False)
         self._bind = bind_forward
         self._make_eval = lambda fn: VideoGazeEvaluator(fn, cfg.eval_cfg)
 
-    def evaluate(self, variables) -> Dict[str, float]:
+    def evaluate(self, variables) -> Optional[Dict[str, float]]:
+        """Returns metrics on rank 0, None elsewhere."""
+        import jax
+
         from ..evaluation.mae import evaluate_results
+        from ..parallel.distributed import barrier, gather_objects
+
+        variables = jax.tree.map(_host_local_leaf, variables)
         evaluator = self._make_eval(
             self._bind(self._fwd, variables, self._fwd_dedup))
         results = list(evaluator.run_videos_from_paths(
             (video['id'], [osp.join(self.img_root, n)
                            for n in video['file_names']])
-            for video in self.videos))
+            for video in self.local_videos))
+        # re-align before the gather: per-process eval-forward compile
+        # skew (cache miss on one rank) can exceed the Gloo rendezvous
+        # window, same failure mode the train CLI barriers against
+        self._round = getattr(self, '_round', 0) + 1
+        barrier(f'validation_gather_{self._round}')
+        results = gather_objects(results)
+        if not self.rank0:
+            return None
         return evaluate_results(results, self.anno, l2cs=self.l2cs)
 
     def after_iter(self, step: int, state) -> Optional[Dict[str, float]]:
@@ -93,6 +134,8 @@ class ValidationHook:
         t0 = time.time()
         metrics = self.evaluate({'params': state.params,
                                  'stats': state.stats})
+        if metrics is None:                     # non-zero rank
+            return None
         dt = time.time() - t0
         parts = ', '.join(f'{k}: {v:.4f}' for k, v in metrics.items())
         print(f'Validation [iter {step}] ({len(self.videos)} videos, '

@@ -166,3 +166,45 @@ def test_train_cli_two_processes(tmp_path):
         assert p.returncode == 0, \
             f'proc {pid} rc={p.returncode}\n{out[-2000:]}\n{err[-3000:]}'
         assert 'mesh: data=8 model=1 over 8 devices, 2 processes' in out, out
+
+
+@pytest.mark.slow
+def test_train_cli_two_process_validation(tmp_path):
+    """--validate under 2 processes x (4,2) mesh: TP-sharded params are
+    resharded to replicated (compiled allgather), the val video list is
+    rank-sharded, per-rank results gathered, and rank 0 logs the MAE."""
+    import json
+
+    import numpy as np
+
+    from tests.test_data_and_driver import make_dataset
+
+    ann, prefix = make_dataset(str(tmp_path), num_videos=3, length=10)
+    cfg = tmp_path / 'cfg.py'
+    cfg.write_text(TRAIN_CFG.format(work_dir=str(tmp_path / 'work')))
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ, JAX_PLATFORMS='cpu',
+                   XLA_FLAGS='--xla_force_host_platform_device_count=4',
+                   COORDINATOR_ADDRESS=f'127.0.0.1:{port}',
+                   NUM_PROCESSES='2', PROCESS_ID=str(pid))
+        procs.append(subprocess.Popen(
+            [sys.executable, 'tools/train.py', str(cfg), '--synthetic',
+             '--mesh', '4,2', '--validate', '--val-interval', '2',
+             '--val-json', ann, '--val-root', prefix, '--val-l2cs',
+             '--cfg-options', 'data_train.batch_size=4'],
+            cwd=REPO, env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True))
+    outs = []
+    for pid, p in enumerate(procs):
+        out, err = p.communicate(timeout=850)
+        assert p.returncode == 0, \
+            f'proc {pid} rc={p.returncode}\n{out[-2000:]}\n{err[-3000:]}'
+        outs.append(out)
+    # rank 0 prints + logs the validation metrics; rank 1 stays silent
+    assert 'Validation [iter 2] (3 videos' in outs[0], outs[0][-2000:]
+    assert 'Validation' not in outs[1]
+    log = tmp_path / 'work' / 'val_log.jsonl'
+    rec = json.loads(log.read_text().splitlines()[-1])
+    assert rec['step'] == 2 and np.isfinite(rec['MAE-Front180'])

@@ -175,14 +175,19 @@ def main():
     # Place params under the TP rules (replicated when model axis is 1),
     # optimizer state and stats replicated — same layout as
     # __graft_entry__.dryrun_multichip.
-    from mcgaze_tpu.parallel.mesh import param_shardings, replicated
+    from mcgaze_tpu.parallel.mesh import (opt_state_shardings,
+                                          param_shardings, replicated)
+    p_sh = param_shardings(mesh, state.params)
     state = state.replace(
-        params=jax.device_put(state.params,
-                              param_shardings(mesh, state.params)),
+        params=jax.device_put(state.params, p_sh),
         stats=jax.device_put(state.stats, replicated(mesh)),
-        opt_state=jax.device_put(state.opt_state, replicated(mesh)),
+        # moments follow the param shardings (mesh.py docstring: AOT
+        # multi-process steps require in == out placement)
+        opt_state=jax.device_put(
+            state.opt_state,
+            opt_state_shardings(mesh, state.opt_state, state.params)),
         step=jax.device_put(state.step, replicated(mesh)),
-        ema_params=(jax.device_put(state.ema_params, replicated(mesh))
+        ema_params=(jax.device_put(state.ema_params, p_sh)
                     if state.ema_params is not None else None),
     )
     step_fn = make_train_step(cfg.model, cfg.optim)
@@ -207,18 +212,17 @@ def main():
 
     val_hook = None
     if args.validate:
-        if n_proc > 1:
-            print('warning: --validate is single-process only '
-                  '(params would need a cross-host gather); skipping')
-        else:
-            from mcgaze_tpu.train.hooks import ValidationHook
-            val_hook = ValidationHook(
-                cfg,
-                args.val_json or cfg.data_test.ann_file,
-                args.val_root or cfg.data_test.img_prefix,
-                interval=args.val_interval or cfg.checkpoint_interval,
-                max_videos=args.val_max_videos, l2cs=args.val_l2cs,
-                work_dir=work_dir)
+        # multi-process: videos rank-sharded, results gathered, rank 0
+        # scores (train/hooks.py::ValidationHook); every process calls
+        # the hook each interval — the gather is a collective
+        from mcgaze_tpu.train.hooks import ValidationHook
+        val_hook = ValidationHook(
+            cfg,
+            args.val_json or cfg.data_test.ann_file,
+            args.val_root or cfg.data_test.img_prefix,
+            interval=args.val_interval or cfg.checkpoint_interval,
+            max_videos=args.val_max_videos, l2cs=args.val_l2cs,
+            work_dir=work_dir)
 
     # log from process 0 only (reference: mmcv's rank-0 logger); losses
     # are global under the jit so rank 0's stream is complete, and two
