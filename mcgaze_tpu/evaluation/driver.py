@@ -140,7 +140,12 @@ class VideoGazeEvaluator:
         The clip count is padded up to the next power of two (capped at
         clip_batch) by repeating the last clip, so XLA compiles at most
         log2(clip_batch)+1 shapes instead of one per distinct tail size.
-        Returns (k, k_pad, boxes, scores, gazes) with device arrays.
+        Measured (idle v5e-1, bf16, dedup): k=4/8/16/32 cost
+        9.38/9.06/14.16/24.79 ms — below k~8 the forward is
+        latency-bound, so short-tail padding is free in wall-clock, and
+        pow2 beats a pad-to-clip_batch single shape everywhere (NOTES.md
+        round 3 item 8). Returns (k, k_pad, boxes, scores, gazes) with
+        device arrays.
         """
         cfg = self.cfg
         k = len(starts)

@@ -54,9 +54,12 @@ class ModelConfig:
     fused_attention: bool = False
     # Run the per-clue cls/reg heads and the GazeHead gaze/confidence
     # towers as ONE (3, C, C') batched GEMM per layer instead of three
-    # Dense calls (models/heads.py::_batched_towers) — the heads path is
-    # latency-bound, not FLOPs-bound. Param tree unchanged; the flag can
-    # flip on a loaded checkpoint.
+    # Dense calls (models/heads.py::_batched_towers). Param tree
+    # unchanged; the flag can flip on a loaded checkpoint. MEASURED
+    # NEUTRAL on the eval workload (idle v5e-1, dedup batch 32, bf16:
+    # 24.21 ms unbatched vs 24.10 ms batched, within host noise — the
+    # heads already sit inside one XLA program, so there was no dispatch
+    # overhead to remove); kept opt-in.
     batched_clue_heads: bool = False
     # RoIAlign implementation: 'mm' (one-hot XLA matmuls), 'pallas'
     # (fused per-frame VMEM kernel, ops/roi_align_pallas.py — measured
