@@ -384,3 +384,26 @@ def test_run_videos_pipeline_propagates_decode_errors(synth):
     bad = good[:3] + [osp.join(prefix, 'missing/00042.png')] + good[4:]
     with pytest.raises(Exception):
         list(ev.run_videos_from_paths([(1, good), (2, bad)]))
+
+
+def test_short_video_below_clip_length():
+    """A video shorter than clip_length forwards as one truncated clip
+    (reference clip_slices: L <= clip_len -> single (0, L) slice) and
+    stitches to per-frame outputs without padding artifacts."""
+    cfg = EvalConfig(scale=(32, 32), canvas=(32, 32), crop_ratio=None,
+                     clip_batch=4)
+    frames = [np.full((H, W, 3), i * 10, np.uint8) for i in range(4)]
+
+    def forward(imgs, whwh, t):
+        assert t == 4                       # truncated clip length
+        k = imgs.shape[0]
+        boxes = np.tile(np.asarray([[1., 1., 2., 2.]], np.float32),
+                        (k, 3, 1)).reshape(k, 3, 4)
+        scores = np.ones((k, 3), np.float32)
+        g = np.tile(np.asarray([[0., 0., -1.]], np.float32), (k, 1))
+        return boxes, scores, dict(fusion=g, face=g, eyes=g, head=g)
+
+    res = VideoGazeEvaluator(forward, cfg).run_video(frames, 3)
+    assert len(res['fusion_gazes']) == 4
+    assert len(res['head_bboxes']) == 4
+    assert all(b is not None for b in res['head_bboxes'])

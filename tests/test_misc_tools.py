@@ -1,9 +1,13 @@
-"""Small tooling: package API surface, checkpoint pruning, log analyzer."""
+"""Small tooling: package API surface, checkpoint pruning, log analyzer,
+misc CLIs (print_config / browse_dataset / visualize_results)."""
 import json
+import os.path as osp
 import subprocess
 import sys
 
 import numpy as np
+
+REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
 
 
 def test_package_public_api():
@@ -70,3 +74,80 @@ def test_checkpoint_split_and_prune(tmp_path):
     assert find_latest_checkpoint(str(tmp_path)).endswith('ckpt_3')
     restored = restore_checkpoint(str(tmp_path / 'ckpt_3'))
     assert set(restored) == {'params'}          # no optimizer payload
+
+
+def test_print_config_cli(tmp_path):
+    r = subprocess.run(
+        [sys.executable, 'tools/misc/print_config.py',
+         'configs/multiclue_gaze/multiclue_gaze_r50_gaze360.py',
+         '--cfg-options', 'model.dtype=bfloat16'],
+        cwd=REPO, capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr
+    assert 'ModelConfig(' in r.stdout
+    assert "dtype='bfloat16'" in r.stdout
+    assert 'OptimConfig(' in r.stdout
+
+
+def test_browse_dataset_cli(tmp_path):
+    from tests.test_data_and_driver import make_dataset
+    ann, prefix = make_dataset(str(tmp_path / 'data'))
+    cfg = tmp_path / 'cfg.py'
+    cfg.write_text(
+        'from mcgaze_tpu.data.dataset import DataConfig\n'
+        'from mcgaze_tpu.evaluation.driver import EvalConfig\n'
+        'from mcgaze_tpu.models.mcgaze import ModelConfig\n'
+        'from mcgaze_tpu.train.loop import OptimConfig\n'
+        'model = ModelConfig()\n'
+        f'data_train = DataConfig(ann_file={ann!r}, img_prefix={prefix!r},'
+        ' scale=(32, 32), canvas=(32, 32), crop_size=0.68,'
+        ' flip_ratio=0.5, batch_size=2)\n'
+        'data_test = data_train\n')
+    out = tmp_path / 'vis'
+    r = subprocess.run(
+        [sys.executable, 'tools/misc/browse_dataset.py', str(cfg),
+         '--output-dir', str(out), '--num-clips', '2'],
+        cwd=REPO, capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr
+    import cv2
+    clips = sorted(out.iterdir())
+    assert len(clips) == 2
+    frames = sorted(clips[0].glob('*.png'))
+    assert len(frames) == 7
+    img = cv2.imread(str(frames[0]))
+    assert img is not None and img.shape == (32, 32, 3)
+
+
+def test_visualize_results_cli(tmp_path):
+    import json as _json
+
+    import numpy as np
+
+    from tests.test_data_and_driver import make_dataset
+    ann, prefix = make_dataset(str(tmp_path / 'data'), num_videos=1,
+                               length=6)
+    anno = _json.load(open(ann))
+    video = anno['videos'][0]
+    f = video['length']
+    res = dict(video_id=video['id'], category_id=1,
+               fusion_gazes=[[0.3, 0.1, -0.95]] * f)
+    for clue in ('face', 'eyes', 'head'):
+        res[f'{clue}_bboxes'] = [[5, 5, 20, 15]] * f
+        res[f'{clue}_gazes'] = [[0.3, 0.1, -0.95]] * f
+        res[f'{clue}_score'] = [0.9] * f
+    results_path = tmp_path / 'results.json'
+    results_path.write_text(_json.dumps([res]))
+    out = tmp_path / 'vis'
+    r = subprocess.run(
+        [sys.executable, 'tools/analysis_tools/visualize_results.py',
+         '--results', str(results_path), '--anno', ann, '--root', prefix,
+         '--out', str(out), '--mp4'],
+        cwd=REPO, capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr
+    import cv2
+    frames = sorted((out / str(video['id'])).glob('*.png'))
+    assert len(frames) == f
+    # the drawn frame differs from the raw frame (boxes + arrow rendered)
+    raw = cv2.imread(osp.join(prefix, video['file_names'][0]))
+    drawn = cv2.imread(str(frames[0]))
+    assert drawn.shape == raw.shape and not np.array_equal(drawn, raw)
+    assert (out / f"{video['id']}.mp4").exists()
