@@ -184,8 +184,15 @@ def bench_e2e(args):
               f'videos, {frames} frames, {dt:.2f}s total)')
         return
 
-    # warmup: compile every clip-batch shape on the first video
-    evaluator.run_video_from_paths(videos[0][1], videos[0][0])
+    # warmup: compile every clip-batch shape on the first video, THROUGH
+    # the measured path (the pipelined path device-puts whole videos and
+    # gathers clips on-device — different executables than the serial
+    # path's host slicing; warming the wrong one leaves compiles inside
+    # the timed section)
+    if args.serial:
+        evaluator.run_video_from_paths(videos[0][1], videos[0][0])
+    else:
+        list(evaluator.run_videos_from_paths(videos[:1]))
     t0 = time.perf_counter()
     frames = 0
     if args.serial:
