@@ -27,6 +27,9 @@ def main():
     ap.add_argument('--stride', type=int, default=4)
     ap.add_argument('--iters', type=int, default=20)
     ap.add_argument('--warmup', type=int, default=3)
+    ap.add_argument('--repeats', type=int, default=3,
+                    help='timed chains per metric; fastest reported '
+                         '(shared host shows ±5%% run-to-run variance)')
     ap.add_argument('--image', type=int, default=224)
     ap.add_argument('--dtype', default='bfloat16')
     args = ap.parse_args()
@@ -49,7 +52,8 @@ def main():
         cfg, canvas=(args.image, args.image))
 
     def chain(fn):
-        return serial_chain_time(fn, args.iters, args.warmup)
+        return serial_chain_time(fn, args.iters, args.warmup,
+                                 repeats=args.repeats)
 
     rng = np.random.RandomState(0)
     u = args.stride * (k - 1) + t                # unique frames per chunk
