@@ -74,7 +74,12 @@ def opt_state_shardings(mesh: Mesh, opt_state: Any, params: Any):
     single-process jit silently re-lowers instead)."""
     flat = jax.tree_util.tree_flatten_with_path(
         param_shardings(mesh, params))[0]
-    by_suffix = [(jax.tree_util.keystr(path), sh) for path, sh in flat]
+    # longest suffix first: if one param's full path is a proper
+    # path-suffix of another's (params['a']['k'] vs params['b']['a']['k'])
+    # the longer — exact — match must win
+    by_suffix = sorted(((jax.tree_util.keystr(path), sh)
+                        for path, sh in flat),
+                       key=lambda t: -len(t[0]))
 
     def assign(path, leaf):
         ks = jax.tree_util.keystr(path)

@@ -52,17 +52,16 @@ def _host_local_leaf(x):
     """A live training param leaf -> a single-local-device array the
     (unsharded) eval jit can consume. Replicated leaves read their local
     replica; TP-sharded leaves (FFN/DynamicConv under the model axis) are
-    first resharded to replicated — a compiled allgather every process
-    executes together, since all processes validate at the same iter."""
+    resharded to replicated via jax.device_put (the runtime's resharding
+    transfer — no per-leaf jit trace/compile; every process executes it
+    together, since all processes validate at the same iter)."""
     import jax
     if not isinstance(x, jax.Array):
         return x
     if not x.is_fully_replicated:
         from jax.sharding import NamedSharding, PartitionSpec
-        x = jax.jit(
-            lambda a: a,
-            out_shardings=NamedSharding(x.sharding.mesh,
-                                        PartitionSpec()))(x)
+        x = jax.device_put(
+            x, NamedSharding(x.sharding.mesh, PartitionSpec()))
     return x.addressable_data(0)
 
 

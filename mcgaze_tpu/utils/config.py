@@ -71,6 +71,20 @@ def load_legacy_dict(path: str) -> dict:
     return _merge_dict(merged, ns)
 
 
+_GAZE_LOSS_TYPES = {'GazeArccosLoss': 'arccos', 'GazeCosLoss': 'cos',
+                    'GazePinballLoss': 'pinball'}
+
+
+def _gaze_loss_type(legacy_type: str) -> str:
+    try:
+        return _GAZE_LOSS_TYPES[legacy_type]
+    except KeyError:
+        raise ValueError(
+            f'unsupported gaze_head loss_gaze type {legacy_type!r}; '
+            f'supported: {sorted(_GAZE_LOSS_TYPES)} '
+            '(reference mmdet/models/losses/__init__.py:21-24)') from None
+
+
 def _translate_legacy(ns: dict) -> Config:
     """Map the reference's config keys onto native dataclasses."""
     model_d = ns.get('model', {})
@@ -97,9 +111,8 @@ def _translate_legacy(ns: dict) -> Config:
         focal_alpha=bh.get('loss_cls', {}).get('alpha', 0.25),
         loss_gaze_weight=gh.get('loss_gaze', {}).get('loss_weight', 6.0),
         loss_temp_weight=gh.get('loss_temp', {}).get('loss_weight', 1.0),
-        gaze_loss_type={'GazeArccosLoss': 'arccos', 'GazeCosLoss': 'cos',
-                        'GazePinballLoss': 'pinball'}[
-            gh.get('loss_gaze', {}).get('type', 'GazeArccosLoss')],
+        gaze_loss_type=_gaze_loss_type(
+            gh.get('loss_gaze', {}).get('type', 'GazeArccosLoss')),
         stage_loss_weights=tuple(
             roi.get('stage_loss_weights', [1.0] * num_stages)),
     )

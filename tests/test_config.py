@@ -208,4 +208,19 @@ def test_criterion_dispatches_gaze_loss_type():
             lambda o, t, c=cfg: total_loss(c, o, t, 14))(out, tg)
         vals[lt] = float(total)
         assert np.isfinite(vals[lt])
-    assert vals['arccos'] != vals['cos'] != vals['pinball']
+    assert len(set(vals.values())) == 3, vals   # all three distinct
+
+
+def test_legacy_unknown_gaze_loss_type_raises(tmp_path):
+    import pytest
+
+    f = tmp_path / 'bad.py'
+    f.write_text(textwrap.dedent("""
+        model = dict(roi_head=dict(
+            bbox_head=[dict()],
+            gaze_head=[dict(loss_gaze=dict(type='SmoothL1Loss'))]))
+        data = dict(train=dict(ann_file='a', img_prefix='i', pipeline=[]),
+                    test=dict(ann_file='t', img_prefix='i', pipeline=[]))
+        """))
+    with pytest.raises(ValueError, match='SmoothL1Loss'):
+        load_config(str(f))

@@ -73,3 +73,55 @@ def test_init_distributed_noop_without_coordinator(monkeypatch):
     monkeypatch.setattr(D2, '_initialized', False)
     D2.init_distributed()          # must not raise or touch the backend
     assert D2._initialized is False
+
+
+def test_opt_state_shardings_longest_suffix_wins():
+    """A param whose full path is a path-suffix of another param's must
+    not capture the other's moments (review finding: first-match
+    endswith picked whichever came first in flatten order)."""
+    import re
+
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from mcgaze_tpu.parallel import mesh as M
+
+    orig = M._TP_RULES
+    try:
+        M._TP_RULES = ((re.compile(r'^a/k$'), P(None, 'model')),)
+        msh = M.make_mesh(n_data=1, n_model=1)
+        params = {'a': {'k': jnp.zeros((2, 2))},
+                  'b': {'a': {'k': jnp.zeros((2, 2))}}}
+        sh = M.opt_state_shardings(msh, {'mu': params}, params)
+        assert sh['mu']['a']['k'].spec == P(None, 'model')
+        assert sh['mu']['b']['a']['k'].spec == P()
+    finally:
+        M._TP_RULES = orig
+
+
+def test_opt_state_shardings_follow_tp_params():
+    """Every AdamW moment of a TP-ruled param gets that param's sharding;
+    scalar counts stay replicated (the AOT multi-process consistency
+    requirement, mesh.py docstring)."""
+    import jax
+    import optax
+    from jax.sharding import PartitionSpec as P
+
+    from mcgaze_tpu.parallel.mesh import (_TP_RULES, make_mesh,
+                                          opt_state_shardings)
+
+    mesh = make_mesh(n_data=1, n_model=1)
+    params = {'bbox_head_0': {'ffn_fc1': {'kernel': jax.numpy.zeros((4, 4)),
+                                          'bias': jax.numpy.zeros((4,))},
+                              'other': {'kernel': jax.numpy.zeros((4, 4))}}}
+    opt = optax.adamw(1e-3).init(params)
+    sh = opt_state_shardings(mesh, opt, params)
+    flat = jax.tree_util.tree_flatten_with_path(sh)[0]
+    for path, leaf in flat:
+        ks = jax.tree_util.keystr(path)
+        if ks.endswith("['ffn_fc1']['kernel']"):
+            assert leaf.spec == P(None, 'model'), ks
+        elif ks.endswith("['ffn_fc1']['bias']"):
+            assert leaf.spec == P('model'), ks
+        else:
+            assert leaf.spec == P(), ks

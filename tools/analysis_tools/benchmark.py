@@ -48,10 +48,15 @@ def main():
     ap.add_argument('--serial', action='store_true',
                     help='disable the decode-ahead pipeline in --e2e '
                          '(A/B the run_videos_from_paths overlap win)')
-    ap.add_argument('--ship-uint8', action='store_true',
-                    help='with --e2e: ship raw uint8 frames and '
-                         'normalize on-device (4x less host->device '
-                         'traffic; EvalConfig.ship_uint8)')
+    ap.add_argument('--ship-uint8', dest='ship_uint8', default=None,
+                    action='store_true',
+                    help='with --e2e: force uint8 frame shipping on '
+                         '(default: follow EvalConfig.ship_uint8, which '
+                         'is on — so the default --e2e run measures '
+                         'exactly what tools/test_gaze360_gaze.py does)')
+    ap.add_argument('--no-ship-uint8', dest='ship_uint8',
+                    action='store_false',
+                    help='with --e2e: force f32 frame shipping (A/B)')
     ap.add_argument('--decode-only', action='store_true',
                     help='with --e2e: measure host decode+preprocess '
                          'alone — the host-bound roofline the pipelined '
@@ -107,6 +112,11 @@ def main():
     t0 = time.perf_counter()
     for _ in range(args.iters):
         out = forward(imgs, whwh, t)
+        # force a D2H readback each iteration — bind_forward returns
+        # device arrays (async dispatch) since round 3, but this loop's
+        # recorded baselines (913-936 clips/s, BENCH_r01/r02 era) were
+        # measured sync-per-iter; keep the methodology comparable
+        np.asarray(out[0])
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
 
@@ -139,8 +149,10 @@ def bench_e2e(args):
 
     cfg = load_config(args.config)
     eval_cfg = dataclasses.replace(cfg.eval_cfg, clip_batch=args.batch,
-                                   dedup_frames=not args.no_dedup,
-                                   ship_uint8=args.ship_uint8)
+                                   dedup_frames=not args.no_dedup)
+    if args.ship_uint8 is not None:
+        eval_cfg = dataclasses.replace(eval_cfg,
+                                       ship_uint8=args.ship_uint8)
     evaluator = VideoGazeEvaluator(
         build_forward(cfg, args.checkpoint, args.dtype), eval_cfg)
 

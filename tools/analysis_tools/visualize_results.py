@@ -59,11 +59,10 @@ def draw_frame(img, res, t):
         cy = int(round(head[1] + head[3] / 2))
         ln = 0.6 * head[2]
         n = max((gx * gx + gy * gy) ** 0.5, 1e-6)
-        import cv2 as _cv2
-        _cv2.arrowedLine(img, (cx, cy),
-                         (int(round(cx + ln * gx / n)),
-                          int(round(cy - ln * gy / n))),
-                         (255, 255, 0), 2)
+        cv2.arrowedLine(img, (cx, cy),
+                        (int(round(cx + ln * gx / n)),
+                         int(round(cy - ln * gy / n))),
+                        (255, 255, 0), 2)
     return img
 
 
