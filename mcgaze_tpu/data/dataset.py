@@ -21,6 +21,9 @@ from typing import Iterator, Optional, Tuple
 import cv2
 import numpy as np
 
+# single home for the Gaze360 yaw/pitch -> vector sign convention
+# (jnp twin: geometry.yaw_pitch_to_vector)
+from ..evaluation.mae import yaw_pitch_to_vector
 from ..train.targets import slot_layout_from_counts
 from . import transforms as T
 from .coco_vid import CocoVid
@@ -39,10 +42,6 @@ class DataConfig:
     gaze_dim: int = 3
 
 
-def _yaw_pitch_to_vec(g):
-    yaw, pitch = g[0], g[1]
-    return [np.cos(pitch) * np.sin(yaw), np.sin(pitch),
-            -np.cos(pitch) * np.cos(yaw)]
 
 
 class Gaze360ClipDataset:
@@ -99,13 +98,19 @@ class Gaze360ClipDataset:
             boxes.append([x1, y1, x1 + w, y1 + h])
             g = np.asarray(ann['gaze'][frame], np.float32)
             if g.shape[-1] == 2:
-                g = np.asarray(_yaw_pitch_to_vec(g), np.float32)
+                g = yaw_pitch_to_vector(g)[0].astype(np.float32)
             gazes.append(g)
         return slot_layout_from_counts(boxes, gazes)
 
     def _clip_frames(self, vid_id: int, frame: int) -> list:
         """7-frame window over annotated frames, first/last-padded."""
         t = self.cfg.clip_length
+        if t % 2 == 0:
+            # the centre-frame window (clip_length//2 each side) only
+            # defines an odd length; the reference has the same latent
+            # constraint (gaze360.py:333-338 would emit t+1 frames) —
+            # reject clearly instead of crashing downstream
+            raise ValueError(f'clip_length must be odd, got {t}')
         frames = self.video_frames[vid_id]
         fset = self.video_frame_sets[vid_id]
         half = t // 2

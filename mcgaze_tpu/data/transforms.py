@@ -45,47 +45,63 @@ def sample_clip_params(rng: np.random.RandomState, crop_size: float | None,
     return ClipParams(crop_ratio=ratio, flip=flip)
 
 
+def crop_offsets(h: int, w: int, ratio: float):
+    """(ch, cw, off_h, off_w) of the deterministic centre crop
+    (reference CenterCrop: size = int(dim*ratio + 0.5), offset =
+    int(margin/2 + 0.5), transforms.py:1022-1043)."""
+    ch = int(h * ratio + 0.5)
+    cw = int(w * ratio + 0.5)
+    off_h = int(max(h - ch, 0) / 2 + 0.5)
+    off_w = int(max(w - cw, 0) / 2 + 0.5)
+    return ch, cw, off_h, off_w
+
+
+def crop_box_geometry(boxes: np.ndarray, valid: np.ndarray,
+                      off_w: int, off_h: int, cw: int, ch: int):
+    """Shared GT arithmetic of the centre crop: shift boxes into the
+    crop, clip, apply the corrupted-sample repair (face/eyes pushed out
+    -> copy the head box, reference transforms.py:1063-1073), and decide
+    keep/reject. Single home for this logic — center_crop (pixel path)
+    and process_frame_geometry (native-loader path) both call it.
+
+    Returns (boxes, valid, ok); ok False = the crop killed every GT
+    (reference returns None -> caller resamples)."""
+    boxes = boxes - np.array([off_w, off_h, off_w, off_h], np.float32)
+    boxes[:, 0::2] = np.clip(boxes[:, 0::2], 0, cw)
+    boxes[:, 1::2] = np.clip(boxes[:, 1::2], 0, ch)
+    alive = (boxes[:, 2] > boxes[:, 0]) & (boxes[:, 3] > boxes[:, 1])
+    valid = valid.copy()
+    n_gt = int(valid.sum())
+    ok = True
+    if n_gt == 3:
+        if not alive[list(np.where(valid > 0)[0])].all():
+            boxes[0] = boxes[2]
+            boxes[1] = boxes[2]
+            alive[:] = True
+    elif n_gt == 1 and not alive[2]:
+        ok = False
+    ok = ok and (bool((alive & (valid > 0)).any()) or n_gt == 0)
+    valid = valid * alive.astype(np.float32)
+    boxes = boxes * valid[:, None]
+    return boxes, valid, ok
+
+
 def center_crop(img: np.ndarray, ratio: float,
                 boxes: np.ndarray | None = None,
                 valid: np.ndarray | None = None):
     """Deterministic center crop to (h*ratio, w*ratio) (+0.5 rounding).
 
-    Mirrors reference CenterCrop (transforms.py:1022-1073): offset =
-    int(margin/2 + 0.5); boxes shifted and clipped to the crop; the
-    corrupted-sample repair copies the head box into dead face/eyes slots.
-
     boxes: (3, 4) xyxy slot layout or None; valid: (3,) mask.
-    Returns (img, boxes, valid, ok) — ok False means the crop killed every
-    GT (reference returns None -> caller resamples).
+    Returns (img, boxes, valid, ok).
     """
     h, w = img.shape[:2]
-    ch = int(h * ratio + 0.5)
-    cw = int(w * ratio + 0.5)
-    off_h = int(max(h - ch, 0) / 2 + 0.5)
-    off_w = int(max(w - cw, 0) / 2 + 0.5)
+    ch, cw, off_h, off_w = crop_offsets(h, w, ratio)
     img = img[off_h:off_h + ch, off_w:off_w + cw]
     if boxes is None:
         return img, None, None, True
     nh, nw = img.shape[:2]
-    boxes = boxes - np.array([off_w, off_h, off_w, off_h], np.float32)
-    boxes[:, 0::2] = np.clip(boxes[:, 0::2], 0, nw)
-    boxes[:, 1::2] = np.clip(boxes[:, 1::2], 0, nh)
-    alive = (boxes[:, 2] > boxes[:, 0]) & (boxes[:, 3] > boxes[:, 1])
-    valid = valid.copy()
-    n_gt = int(valid.sum())
-    if n_gt == 3:
-        if not alive[list(np.where(valid > 0)[0])].all():
-            # face/eyes pushed out by the crop on corrupted samples:
-            # give them the head box (reference transforms.py:1063-1073).
-            boxes[0] = boxes[2]
-            boxes[1] = boxes[2]
-            alive[:] = True
-    elif n_gt == 1:
-        if not alive[2]:
-            return img, boxes, valid, False
-    ok = bool((alive & (valid > 0)).any()) or n_gt == 0
-    valid = valid * alive.astype(np.float32)
-    boxes = boxes * valid[:, None]
+    boxes, valid, ok = crop_box_geometry(boxes, valid, off_w, off_h,
+                                         nw, nh)
     return img, boxes, valid, ok
 
 
@@ -159,29 +175,10 @@ def process_frame_geometry(orig_hw: Tuple[int, int],
     h, w = orig_hw
     ok = True
     if params.crop_ratio is not None:
-        ratio = params.crop_ratio
-        ch = int(h * ratio + 0.5)
-        cw = int(w * ratio + 0.5)
-        off_h = int(max(h - ch, 0) / 2 + 0.5)
-        off_w = int(max(w - cw, 0) / 2 + 0.5)
+        ch, cw, off_h, off_w = crop_offsets(h, w, params.crop_ratio)
         if boxes is not None:
-            boxes = boxes - np.array([off_w, off_h, off_w, off_h],
-                                     np.float32)
-            boxes[:, 0::2] = np.clip(boxes[:, 0::2], 0, cw)
-            boxes[:, 1::2] = np.clip(boxes[:, 1::2], 0, ch)
-            alive = (boxes[:, 2] > boxes[:, 0]) & (boxes[:, 3] > boxes[:, 1])
-            valid = valid.copy()
-            n_gt = int(valid.sum())
-            if n_gt == 3:
-                if not alive[list(np.where(valid > 0)[0])].all():
-                    boxes[0] = boxes[2]
-                    boxes[1] = boxes[2]
-                    alive[:] = True
-            elif n_gt == 1 and not alive[2]:
-                ok = False
-            ok = ok and (bool((alive & (valid > 0)).any()) or n_gt == 0)
-            valid = valid * alive.astype(np.float32)
-            boxes = boxes * valid[:, None]
+            boxes, valid, ok = crop_box_geometry(boxes, valid, off_w,
+                                                 off_h, cw, ch)
         h, w = ch, cw
     new_w, new_h = rescale_size(h, w, scale)
     sf = np.array([new_w / w, new_h / h, new_w / w, new_h / h], np.float32)

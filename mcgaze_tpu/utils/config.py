@@ -58,9 +58,13 @@ def _merge_dict(base: dict, override: dict) -> dict:
     return out
 
 
-def load_legacy_dict(path: str) -> dict:
-    """Resolve a legacy config file with `_base_` inheritance."""
-    ns = _exec_pyfile(path)
+def load_legacy_dict(path: str, ns: Optional[dict] = None) -> dict:
+    """Resolve a legacy config file with `_base_` inheritance.
+
+    `ns` lets a caller that already executed the file pass its namespace
+    in (load_config probes the file once for the native format, then
+    resolves it as legacy without re-running its module body)."""
+    ns = dict(ns) if ns is not None else _exec_pyfile(path)
     bases = ns.pop('_base_', [])
     if isinstance(bases, str):
         bases = [bases]
@@ -194,5 +198,6 @@ def load_config(path: str) -> Config:
             log_interval=ns.get('log_interval', 50),
             seed=ns.get('seed', 0),
         )
-    # legacy mmdet-style dict config
-    return _translate_legacy(load_legacy_dict(path))
+    # legacy mmdet-style dict config (re-using the namespace executed
+    # above — a config file's module body runs exactly once)
+    return _translate_legacy(load_legacy_dict(path, ns))

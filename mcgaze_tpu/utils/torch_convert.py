@@ -57,10 +57,23 @@ def _ln(params, jx, tk, sd):
 
 
 def convert_backbone(params, stats, sd, prefix='backbone.'):
-    """mmdet/torchvision resnet names -> backbone/* tree."""
+    """mmdet/torchvision resnet names -> backbone/* tree.
+
+    Block counts are read off the state_dict itself (count of
+    layerN.i.conv1 keys), so any bottleneck depth (26/50/101/152)
+    converts fully — a hardcoded depth table silently half-converted
+    non-r50 checkpoints (round-3 review finding)."""
     _set(params, 'backbone/conv1/kernel', _conv(sd[prefix + 'conv1.weight']))
     _bn(params, stats, 'backbone/bn1', prefix + 'bn1', sd)
-    blocks = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}[50]
+
+    def stage_blocks(s):
+        n = 0
+        while f'{prefix}layer{s + 1}.{n}.conv1.weight' in sd:
+            n += 1
+        return n
+
+    blocks = tuple(stage_blocks(s) for s in range(4))
+    assert all(blocks), f'no resnet blocks found under {prefix!r}: {blocks}'
     for s, n in enumerate(blocks):
         for i in range(n):
             tb = f'{prefix}layer{s + 1}.{i}'
@@ -183,6 +196,34 @@ def _merge(dst, src, path=''):
     return out
 
 
+def _unconsumed(dst, src, path=''):
+    """Converted-tree leaf paths the init tree has no slot for — each one
+    is a checkpoint tensor that would be SILENTLY dropped (leaving that
+    layer at random init). Callers raise on any."""
+    out = []
+    for k, v in src.items():
+        p = f'{path}/{k}'
+        if k not in dst or isinstance(v, dict) != isinstance(dst.get(k),
+                                                            dict):
+            if isinstance(v, dict):
+                out.extend(_unconsumed({}, v, p))
+            else:
+                out.append(p)
+        elif isinstance(v, dict):
+            out.extend(_unconsumed(dst[k], v, p))
+    return out
+
+
+def _merge_strict(dst, src, what):
+    missing = _unconsumed(dst, src)
+    if missing:
+        raise ValueError(
+            f'{what}: {len(missing)} converted tensors have no slot in '
+            f'the model (would be silently dropped), e.g. {missing[:5]} '
+            '— model config and checkpoint disagree')
+    return _merge(dst, src)
+
+
 def convert_torch_checkpoint(path: str, variables: dict,
                              num_stages: int = 4) -> dict:
     """Load a torch .pth and merge into freshly-initialised variables."""
@@ -192,8 +233,10 @@ def convert_torch_checkpoint(path: str, variables: dict,
     sd = {k: v.numpy() if hasattr(v, 'numpy') else v for k, v in sd.items()}
     conv = convert_mcgaze_checkpoint_dict(sd, num_stages)
     return {
-        'params': _merge(variables['params'], conv['params']),
-        'stats': _merge(variables['stats'], conv['stats']),
+        'params': _merge_strict(variables['params'], conv['params'],
+                                'convert_torch_checkpoint params'),
+        'stats': _merge_strict(variables['stats'], conv['stats'],
+                               'convert_torch_checkpoint stats'),
     }
 
 
@@ -211,6 +254,8 @@ def convert_torchvision_resnet(path_or_sd, variables: dict) -> dict:
     stats: Dict[str, Any] = {}
     convert_backbone(params, stats, sd, prefix='')
     return {
-        'params': _merge(variables['params'], params),
-        'stats': _merge(variables['stats'], stats),
+        'params': _merge_strict(variables['params'], params,
+                                'convert_torchvision_resnet params'),
+        'stats': _merge_strict(variables['stats'], stats,
+                               'convert_torchvision_resnet stats'),
     }

@@ -407,3 +407,14 @@ def test_short_video_below_clip_length():
     assert len(res['fusion_gazes']) == 4
     assert len(res['head_bboxes']) == 4
     assert all(b is not None for b in res['head_bboxes'])
+
+
+def test_even_clip_length_rejected(synth):
+    """clip_length must be odd (centre-frame window); an even value used
+    to emit t+1 frames and crash with IndexError deep in get_clip."""
+    _, ann, prefix = synth
+    cfg = DataConfig(ann_file=ann, img_prefix=prefix, clip_length=6,
+                     scale=(32, 32), canvas=(32, 32), batch_size=1)
+    ds = Gaze360ClipDataset(cfg, seed=0)
+    with pytest.raises(ValueError, match='odd'):
+        ds.get_clip(0)
