@@ -38,7 +38,6 @@ EPILOG = """To extract a state_dict from an original crowdhuman_yolov5m.pt
 def load_yolo_variables(path, cfg):
     from mcgaze_tpu.models.yolov5 import convert_torch_yolo
     if path.endswith('.npz'):
-        import jax
         flat = dict(np.load(path))
         tree = {}
         for k, v in flat.items():
@@ -87,29 +86,32 @@ def main():
     os.makedirs(frames_dir, exist_ok=True)
     os.makedirs(labels_dir, exist_ok=True)
 
-    cap = cv2.VideoCapture(args.video)
-    frames = []
-    while True:
-        ret, frame = cap.read()
-        if not ret:
-            break
-        frames.append(frame)
-    cap.release()
-    print(f'{len(frames)} frames from {args.video}')
-
     cfg = YoloConfig(img_size=args.img_size)
     detector = HeadDetector(load_yolo_variables(args.weights, cfg), cfg,
                             args.conf_thres, args.iou_thres)
 
+    # stream the video one detector batch at a time — decoding the whole
+    # mp4 into RAM first OOMs on long 1080p inputs (minutes of video are
+    # tens of GB of BGR frames)
+    cap = cv2.VideoCapture(args.video)
     n_heads = 0
-    for start in range(0, len(frames), args.batch):
-        batch = frames[start:start + args.batch]
+    n_frames = 0
+    start = 0
+    while True:
+        batch = []
+        while len(batch) < args.batch:
+            ret, frame = cap.read()
+            if not ret:
+                break
+            batch.append(frame)
+        if not batch:
+            break
         # pad tail to the compiled batch shape
         pad = args.batch - len(batch)
         dets = detector(batch + [batch[-1]] * pad)[:len(batch)]
         for j, det in enumerate(dets):
             fid = start + j
-            cv2.imwrite(osp.join(frames_dir, f'{fid}.jpg'), frames[j + start])
+            cv2.imwrite(osp.join(frames_dir, f'{fid}.jpg'), batch[j])
             with open(osp.join(labels_dir, f'{fid}.txt'), 'w') as f:
                 for x1, y1, x2, y2, conf in det:
                     line = f'1 {x1:g} {y1:g} {x2:g} {y2:g}'
@@ -117,6 +119,10 @@ def main():
                         line += f' {conf:g}'
                     f.write(line + '\n')
             n_heads += len(det)
+        start += len(batch)
+        n_frames += len(batch)
+    cap.release()
+    print(f'{n_frames} frames from {args.video}')
     print(f'{n_heads} head boxes -> {labels_dir}')
 
 

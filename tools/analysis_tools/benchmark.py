@@ -96,18 +96,28 @@ def main():
         for video in anno['videos']:
             for name in video['file_names']:
                 img = cv2.imread(osp.join(args.root, name))
+                if img is None:
+                    print(f'[benchmark] unreadable frame skipped: {name}')
+                    continue
                 frames.append(cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
                 if len(frames) == n:
                     break
             if len(frames) == n:
                 break
+        if not frames:
+            print(f'[benchmark] no readable frames under {args.root} -> '
+                  'synthetic frames')
+            rng = np.random.RandomState(0)
+            frames = list(rng.randint(0, 255, (1, h, w, 3), np.uint8))
         frames = (frames * ((n + len(frames) - 1) // len(frames)))[:n]
         imgs, _, _ = preprocess_frames(frames, cfg.eval_cfg)
     whwh = np.tile(np.asarray([[w, h, w, h]], np.float32), (n, 1))
 
+    out = None
     for _ in range(args.warmup):
         out = forward(imgs, whwh, t)
-    jax.block_until_ready(out)
+    if out is not None:
+        jax.block_until_ready(out)
 
     t0 = time.perf_counter()
     for _ in range(args.iters):
@@ -196,15 +206,34 @@ def bench_e2e(args):
               f'videos, {frames} frames, {dt:.2f}s total)')
         return
 
-    # warmup: compile every clip-batch shape on the first video, THROUGH
-    # the measured path (the pipelined path device-puts whole videos and
-    # gathers clips on-device — different executables than the serial
-    # path's host slicing; warming the wrong one leaves compiles inside
+    # warmup: compile every (chunk k_pad, clip length) combination the
+    # run will hit, THROUGH the measured path (the pipelined path
+    # device-puts whole videos and gathers clips on-device — different
+    # executables than the serial path's host slicing; and with
+    # variable-length real videos, tail chunks hit shapes video 0 never
+    # does — warming only the first video would leave compiles inside
     # the timed section)
-    if args.serial:
-        evaluator.run_video_from_paths(videos[0][1], videos[0][0])
-    else:
-        list(evaluator.run_videos_from_paths(videos[:1]))
+    from mcgaze_tpu.evaluation.driver import clip_slices
+
+    def shape_sig(paths):
+        slices = clip_slices(len(paths), cfg.model.clip_length,
+                             eval_cfg.stride)
+        starts = [s[0] for s in slices]
+        kps = set()
+        for i in range(0, len(starts), eval_cfg.clip_batch):
+            k = len(starts[i:i + eval_cfg.clip_batch])
+            kps.add(min(eval_cfg.clip_batch,
+                        1 if k <= 1 else 1 << (k - 1).bit_length()))
+        return (slices[0][1], tuple(sorted(kps)))
+
+    warm = {}
+    for vid, paths in videos:
+        warm.setdefault(shape_sig(paths), (vid, paths))
+    for vid, paths in warm.values():
+        if args.serial:
+            evaluator.run_video_from_paths(paths, vid)
+        else:
+            list(evaluator.run_videos_from_paths([(vid, paths)]))
     t0 = time.perf_counter()
     frames = 0
     if args.serial:

@@ -50,7 +50,7 @@ def main():
     t = args.clip_length or cfg.model.clip_length
 
     if args.train:
-        from mcgaze_tpu.train.loop import (OptimConfig, create_train_state,
+        from mcgaze_tpu.train.loop import (create_train_state,
                                            make_train_step)
         state = create_train_state(cfg.model, cfg.optim,
                                    jax.random.PRNGKey(0), image_size=(h, w))

@@ -15,7 +15,7 @@ import numpy as np
 sys.path.insert(0, osp.join(osp.dirname(osp.abspath(__file__)), '..', '..'))
 
 
-def _time(fn, eps0, iters, warmup):
+def _time(fn, iters, warmup):
     from mcgaze_tpu.utils.benchmarking import serial_chain_time
     return serial_chain_time(fn, iters, warmup)
 
@@ -54,7 +54,7 @@ def main():
         outs = backbone.apply(v, xx + eps)
         return (sum(jnp.sum(o) for o in outs) * 1e-12).astype(jnp.float32)
 
-    results['backbone'] = _time(lambda e: bb(bvars, x, e), 0.0,
+    results['backbone'] = _time(lambda e: bb(bvars, x, e),
                                 args.iters, args.warmup)
 
     from flax import linen as nn
@@ -75,7 +75,7 @@ def main():
         outs = bf.apply(v, xx + eps)
         return (sum(jnp.sum(o) for o in outs) * 1e-12).astype(jnp.float32)
 
-    results['backbone_fpn'] = _time(lambda e: bbf(bfvars, x, e), 0.0,
+    results['backbone_fpn'] = _time(lambda e: bbf(bfvars, x, e),
                                     args.iters, args.warmup)
 
     for stages in (2, 4):
@@ -93,7 +93,7 @@ def main():
             return dep.astype(jnp.float32)
 
         results[f'full_{stages}stage'] = _time(
-            lambda e, f=full, v=variables: f(v, imgs, whwh, e), 0.0,
+            lambda e, f=full, v=variables: f(v, imgs, whwh, e),
             args.iters, args.warmup)
 
     ms = {k: round(v * 1e3, 3) for k, v in results.items()}

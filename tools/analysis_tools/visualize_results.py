@@ -58,10 +58,11 @@ def draw_frame(img, res, t):
         cx = int(round(head[0] + head[2] / 2))
         cy = int(round(head[1] + head[3] / 2))
         ln = 0.6 * head[2]
-        n = max((gx * gx + gy * gy) ** 0.5, 1e-6)
+        # rendering convention is (-gx, -gy) — same vector, same arrow
+        # as the reference visual script (:82) and demo/gaze_demo.py
         cv2.arrowedLine(img, (cx, cy),
-                        (int(round(cx + ln * gx / n)),
-                         int(round(cy - ln * gy / n))),
+                        (int(round(cx - ln * gx)),
+                         int(round(cy - ln * gy))),
                         (255, 255, 0), 2)
     return img
 

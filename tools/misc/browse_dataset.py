@@ -47,17 +47,18 @@ def draw_clip(imgs, boxes, valid, gazes):
             cv2.rectangle(img, (x1, y1), (x2, y2), CLUE_COLORS[q], 1)
             cv2.putText(img, CLUE_NAMES[q], (x1, max(y1 - 2, 8)),
                         cv2.FONT_HERSHEY_PLAIN, 0.8, CLUE_COLORS[q], 1)
-        # head-slot gaze arrow from the head-box centre; image-plane
-        # projection (x, -y) as in the demo renderer
+        # head-slot gaze arrow from the head-box centre, rendered along
+        # (-gx, -gy) — the reference/demo convention (gaze_demo.py
+        # draw_gaze, reference visual_gaze_under_resize.py:82); a
+        # flipped frame negates gx, so the arrow must mirror with it
         if valid[t, 2] > 0:
             gx, gy = float(gazes[t, 2, 0]), float(gazes[t, 2, 1])
             cx = int(round((boxes[t, 2, 0] + boxes[t, 2, 2]) / 2))
             cy = int(round((boxes[t, 2, 1] + boxes[t, 2, 3]) / 2))
             ln = 0.4 * (boxes[t, 2, 2] - boxes[t, 2, 0])
-            n = max((gx * gx + gy * gy) ** 0.5, 1e-6)
             cv2.arrowedLine(img, (cx, cy),
-                            (int(round(cx + ln * gx / n)),
-                             int(round(cy - ln * gy / n))),
+                            (int(round(cx - ln * gx)),
+                             int(round(cy - ln * gy))),
                             (255, 255, 0), 2)
         out.append(img)
     return out

@@ -111,9 +111,12 @@ def main():
     write_path = osp.join(
         args.out_dir, f'results_{cfg_name}_{osp.basename(args.json)}')
     json.dump(results, open(write_path, 'w'))
+    # counts from the GATHERED list (total_frames only covers this
+    # rank's shard); the rate is per-process wall on this rank's shard
+    global_frames = sum(len(r['fusion_gazes']) for r in results)
     print(f'wrote {write_path} '
-          f'({len(results)} videos, {total_frames} frames, '
-          f'{total_frames / (time.time() - t0):.1f} frames/s)')
+          f'({len(results)} videos, {global_frames} frames, '
+          f'{total_frames / (time.time() - t0):.1f} frames/s/process)')
 
 
 if __name__ == '__main__':
