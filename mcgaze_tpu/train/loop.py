@@ -108,8 +108,13 @@ def create_train_state(cfg: ModelConfig, oc: OptimConfig, rng,
                       stats=variables.get('stats', {}),
                       opt_state=tx.init(variables['params']),
                       step=jnp.zeros((), jnp.int32),
-                      ema_params=(jax.tree.map(jnp.asarray,
-                                               variables['params'])
+                      # REAL copies, not jnp.asarray aliases: the donated
+                      # train step would otherwise receive the same
+                      # buffer as params AND ema_params and fail with
+                      # 'Attempt to donate the same buffer twice'
+                      ema_params=(jax.tree.map(
+                          lambda x: jnp.array(x, copy=True),
+                          variables['params'])
                                   if oc.ema_momentum else None))
 
 

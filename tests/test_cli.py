@@ -116,3 +116,41 @@ def test_train_eval_mae_cli(workspace):
     inline = json.load(open(out_json))
     # same checkpoint + same driver -> identical fusion gazes as step 3
     assert inline[0]['fusion_gazes'] == results[0]['fusion_gazes']
+
+
+@pytest.mark.slow
+def test_ema_eval_cli(workspace):
+    """--ema evaluates the EMA weights from <ckpt>_train (reference
+    EMAHook eval-swap); missing EMA state errors with a clear message."""
+    ws = workspace
+    work = osp.join(ws['root'], 'work_ema')
+    r = run(['tools/train.py', ws['cfg'], '--synthetic', '--max-iters',
+             '2', '--work-dir', work, '--cfg-options',
+             'optim.ema_momentum=0.3'])
+    assert r.returncode == 0, r.stdout[-1500:] + r.stderr[-2500:]
+    ckpt = osp.join(work, 'ckpt_2')
+    assert osp.isdir(ckpt) and osp.isdir(ckpt + '_train')
+
+    out_a = osp.join(ws['root'], 'res_raw.json')
+    out_b = osp.join(ws['root'], 'res_ema.json')
+    for out, extra in ((out_a, []), (out_b, ['--ema'])):
+        r = run(['tools/test.py', ws['cfg'], ckpt, '--json', ws['ann'],
+                 '--root', ws['prefix'], '--out', out,
+                 '--max-videos', '1'] + extra)
+        assert r.returncode == 0, r.stdout[-1500:] + r.stderr[-2500:]
+    import numpy as np
+    a = json.load(open(out_a))[0]['fusion_gazes']
+    b = json.load(open(out_b))[0]['fusion_gazes']
+    # 2 iters of momentum-0.3 EMA != live params
+    assert not np.allclose(a, b)
+
+    # checkpoint trained WITHOUT EMA -> clear error
+    work2 = osp.join(ws['root'], 'work_noema')
+    r = run(['tools/train.py', ws['cfg'], '--synthetic', '--max-iters',
+             '2', '--work-dir', work2])
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = run(['tools/test.py', ws['cfg'], osp.join(work2, 'ckpt_2'),
+             '--json', ws['ann'], '--root', ws['prefix'],
+             '--max-videos', '1', '--ema'])
+    assert r.returncode != 0
+    assert 'ema_params' in (r.stdout + r.stderr)

@@ -33,6 +33,9 @@ def parse_args():
     p.add_argument('--clip-batch', type=int, default=8)
     p.add_argument('--max-videos', type=int, default=0)
     p.add_argument('--dtype', default=None)
+    p.add_argument('--ema', action='store_true',
+                   help='evaluate the EMA weights from <ckpt>_train '
+                        '(reference EMAHook eval-swap semantics)')
     p.add_argument('--cfg-options', nargs='+', default=None,
                    help="config overrides 'a.b=val'")
     return p.parse_args()
@@ -56,7 +59,8 @@ def main():
     cfg = apply_overrides(load_config(args.config), args.cfg_options)
     eval_cfg = dataclasses.replace(cfg.eval_cfg, clip_batch=args.clip_batch)
     evaluator = VideoGazeEvaluator(
-        build_forward(cfg, args.checkpoint, args.dtype), eval_cfg)
+        build_forward(cfg, args.checkpoint, args.dtype,
+                            ema=args.ema), eval_cfg)
 
     anno = json.load(open(args.json))
     videos = anno['videos']

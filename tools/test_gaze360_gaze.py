@@ -27,6 +27,9 @@ def parse_args():
     p.add_argument('--out-dir', default='results')
     p.add_argument('--clip-batch', type=int, default=8)
     p.add_argument('--max-videos', type=int, default=0)
+    p.add_argument('--ema', action='store_true',
+                   help='evaluate the EMA weights from <ckpt>_train '
+                        '(reference EMAHook eval-swap semantics)')
     p.add_argument('--dtype', default=None,
                    help="override model dtype (e.g. bfloat16)")
     p.add_argument('--cfg-options', nargs='+', default=None,
@@ -34,7 +37,7 @@ def parse_args():
     return p.parse_args()
 
 
-def build_forward(cfg, checkpoint, dtype=None):
+def build_forward(cfg, checkpoint, dtype=None, ema=False):
     import dataclasses
 
     from mcgaze_tpu.evaluation.forward import bind_forward, make_eval_forward
@@ -47,14 +50,30 @@ def build_forward(cfg, checkpoint, dtype=None):
         model_cfg, cfg.eval_cfg.canvas)
     if checkpoint:
         if checkpoint.endswith(('.pth', '.pt')):
+            if ema:
+                raise SystemExit('--ema needs an orbax checkpoint pair '
+                                 '(ckpt_N + ckpt_N_train) from '
+                                 'tools/train.py; torch .pth checkpoints '
+                                 'carry no EMA split')
             from mcgaze_tpu.utils.torch_convert import convert_torch_checkpoint
             variables = convert_torch_checkpoint(checkpoint, variables)
         else:
             # Targetless restore: accepts both eval-only {params, stats}
             # checkpoints and full TrainState checkpoints from tools/train.
             restored = restore_checkpoint(checkpoint)
-            variables = {'params': restored['params'],
-                         'stats': restored['stats']}
+            params = restored['params']
+            if ema:
+                # evaluate the EMA weights (reference EMAHook swaps the
+                # averaged params in for eval, mmdet/core/hook/ema.py);
+                # tools/train.py stores them in the _train split
+                train = restore_checkpoint(checkpoint + '_train')
+                if not isinstance(train, dict) or \
+                        train.get('ema_params') is None:
+                    raise SystemExit(
+                        f'{checkpoint}_train holds no ema_params — train '
+                        'with optim.ema_momentum > 0 to produce them')
+                params = train['ema_params']
+            variables = {'params': params, 'stats': restored['stats']}
 
     return bind_forward(fwd, variables, fwd_dedup)
 
@@ -75,7 +94,8 @@ def main():
     from mcgaze_tpu.utils.cfg_options import apply_overrides
     cfg = apply_overrides(load_config(args.config), args.cfg_options)
     eval_cfg = dataclasses.replace(cfg.eval_cfg, clip_batch=args.clip_batch)
-    forward = build_forward(cfg, args.checkpoint, args.dtype)
+    forward = build_forward(cfg, args.checkpoint, args.dtype,
+                              ema=args.ema)
     evaluator = VideoGazeEvaluator(forward, eval_cfg)
 
     anno = json.load(open(args.json))
