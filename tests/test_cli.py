@@ -154,3 +154,35 @@ def test_ema_eval_cli(workspace):
              '--max-videos', '1', '--ema'])
     assert r.returncode != 0
     assert 'ema_params' in (r.stdout + r.stderr)
+
+
+@pytest.mark.slow
+def test_kitchen_sink_train_cli(workspace):
+    """Every optional train-loop feature ON at once: EMA in-jit,
+    in-training validation, profiler trace, checkpointing — then
+    --auto-resume continues the same run (flag-combination bugs like the
+    EMA double-donation hide where features meet)."""
+    ws = workspace
+    work = osp.join(ws['root'], 'work_sink')
+    prof = osp.join(ws['root'], 'prof')
+    args = ['tools/train.py', ws['cfg'], '--synthetic', '--work-dir',
+            work, '--log-interval', '1',
+            '--validate', '--val-interval', '2', '--val-json', ws['ann'],
+            '--val-root', ws['prefix'], '--val-max-videos', '1',
+            '--val-l2cs', '--profile-dir', prof,
+            '--cfg-options', 'optim.ema_momentum=0.3']
+    r = run(args + ['--max-iters', '2'])
+    assert r.returncode == 0, r.stdout[-1500:] + r.stderr[-3000:]
+    assert 'Validation [iter 2]' in r.stdout, r.stdout[-2000:]
+    assert osp.isdir(osp.join(work, 'ckpt_2_train'))
+
+    # auto-resume picks up ckpt_2 (incl. EMA + optimizer state) and runs
+    # to iter 8 with validation firing again; the profiler window opens
+    # at resumed-step+3 = iter 5, so 8 iters also exercises the trace
+    r = run(args + ['--max-iters', '8', '--auto-resume'])
+    assert r.returncode == 0, r.stdout[-1500:] + r.stderr[-3000:]
+    assert 'resumed from' in r.stdout, r.stdout[-2000:]
+    assert 'Validation [iter 4]' in r.stdout, r.stdout[-2000:]
+    assert osp.isdir(osp.join(work, 'ckpt_4'))
+    # profiler wrote a trace (iters 5.. window of the resumed run)
+    assert osp.isdir(prof) and os.listdir(prof)
