@@ -13,11 +13,12 @@ the pyramid per einsum; at the MCGaze eval shape (N=224 frames per batch,
 crosses HBM exactly once per stage (2.1 MB/frame) and both contractions
 ride the MXU from VMEM.
 
-Layout per grid step (one frame):
-  feats_l  (1, H_l, W_l*C) VMEM  - pyramid level, W*C pre-merged by XLA
-                                   (free: contiguity-preserving reshape)
-  rois     (1, R, 4)       SMEM  - absolute xyxy boxes of this frame
-  out      (1, R, 7, 7, C) VMEM
+Layout per grid step (one frame x one channel chunk; the chunk is C
+itself at 224 px — see _channel_chunk for the 448 px VMEM split):
+  feats_l  (1, H_l, W_l, CC)  VMEM - pyramid level channel block, merged
+                                     to (H, W*CC) in-kernel (free reshape)
+  rois     (1, R, 4)          SMEM - absolute xyxy boxes of this frame
+  out      (1, R, 7, 7, CC)   VMEM
 
 Per level: build the separable bilinear weight matrices AY (R*7, H),
 AX_r (7, W) on the VPU with the level-routing mask folded into AY (a RoI
@@ -68,6 +69,8 @@ def _axis_weights_grid(lo_c: jnp.ndarray, hi_c: jnp.ndarray, size: int,
 def _make_kernel(num_rois: int, out_size: int, sampling_ratio: int,
                  strides: tuple, sizes: tuple, channels: int,
                  finest_scale: float, acc_dtype):
+    """channels here is the per-grid-step channel block (= C, or a chunk
+    of it when the pyramid is too large for VMEM — see _channel_chunk)."""
     num_levels = len(strides)
 
     def kernel(rois_ref, *refs):
@@ -112,7 +115,8 @@ def _make_kernel(num_rois: int, out_size: int, sampling_ratio: int,
                 ays.append(ay * mask)     # routing mask folded into AY
                 axs.append(ax)
             ay_all = jnp.concatenate(ays, axis=0)      # (R*7, H)
-            f = feat_refs[li][0]                       # (H, W*C)
+            # (H, W, CC) block -> (H, W*CC): contiguous merge, free
+            f = feat_refs[li][0].reshape(h_l, w_l * channels)
             # f32 MXU accumulation, then cast back to the feature dtype —
             # exactly the mm formulation's tmp.astype(dtype) semantics
             # (ops/roi_align.py), and half the relayout traffic below
@@ -137,8 +141,37 @@ def _make_kernel(num_rois: int, out_size: int, sampling_ratio: int,
     return kernel
 
 
+# Per-step VMEM budget for the pyramid blocks (bytes). The scoped-vmem
+# stack limit is 16 MiB; the pipeline double-buffers every input block,
+# and the kernel's own temporaries (the (R*7, W*CC) f32 contraction
+# output and its reshape) need headroom on top, so blocks are capped at
+# 10 MiB pre-double-buffering.
+_VMEM_BLOCK_BUDGET = 10 * 1024 * 1024
+
+
+def _channel_chunk(sizes, c, itemsize):
+    """Largest power-of-two channel block cc | C whose per-step pyramid
+    blocks (double-buffered) fit the VMEM budget. At the gaze360 eval
+    shape (224 px, f32: 4.3 MB pyramid) this returns C — one chunk, the
+    original single-grid layout. At 448 px (l2cs) the P2 level alone is
+    12.8 MB f32, which overflows the default 16 MiB scoped-vmem stack
+    (observed: 'Scoped allocation with size 27.05M ... exceeded scoped
+    vmem limit'), so the channel axis is split across a second grid
+    dimension. Floor 128: Mosaic requires the last block dim be a
+    multiple of 128 lanes (or the whole array dim); when 128 still
+    overflows, the wrapper raises the kernel's vmem_limit_bytes instead
+    (v5e has 128 MiB VMEM — 16 MiB is only the default cap)."""
+    cells = sum(h * w for (h, w) in sizes)
+    cc = c
+    while cc > 128 and cc % 2 == 0 and cells * cc * itemsize * 2 > \
+            _VMEM_BLOCK_BUDGET:
+        cc //= 2
+    return cc
+
+
 @partial(jax.jit, static_argnames=('out_size', 'sampling_ratio',
-                                   'strides', 'finest_scale', 'interpret'))
+                                   'strides', 'finest_scale', 'interpret',
+                                   'channel_chunk'))
 def roi_align_fpn_pallas(feats: tuple,
                          rois: jnp.ndarray,
                          out_size: int = 7,
@@ -146,7 +179,8 @@ def roi_align_fpn_pallas(feats: tuple,
                          strides: tuple = (4, 8, 16, 32),
                          finest_scale: float = 56.0,
                          frame_idx: jnp.ndarray | None = None,
-                         interpret: bool = False) -> jnp.ndarray:
+                         interpret: bool = False,
+                         channel_chunk: int | None = None) -> jnp.ndarray:
     """Drop-in replacement for roi_align_fpn_mm (same signature/semantics).
 
     feats: tuple of L arrays (U, H_l, W_l, C) NHWC; rois: (N, R, 4) xyxy.
@@ -157,7 +191,13 @@ def roi_align_fpn_pallas(feats: tuple,
     clip->unique-frame gather here as a SCALAR-PREFETCH index map instead
     of materialising the duplicated (N-frame) pyramid in HBM: the kernel
     DMAs each slot's frame block directly, and pallas skips the re-fetch
-    when consecutive slots map to the same frame (overlapping clips)."""
+    when consecutive slots map to the same frame (overlapping clips).
+
+    channel_chunk: per-grid-step channel block; None auto-selects the
+    largest chunk fitting VMEM (_channel_chunk — C itself except at
+    448 px+, where the pyramid block must be split). When chunked, the
+    grid is (chunks, frames) with frames INNERMOST so the consecutive-
+    slot refetch-skip above still applies within each chunk sweep."""
     n = rois.shape[0]
     c = feats[0].shape[-1]
     r = rois.shape[1]
@@ -165,10 +205,10 @@ def roi_align_fpn_pallas(feats: tuple,
     sizes = tuple((f.shape[1], f.shape[2]) for f in feats)
     dtype = feats[0].dtype
 
-    # (U, H, W*C): contiguity-preserving, so XLA lowers it without a copy
-    flat_feats = [f.reshape(u, f.shape[1], f.shape[2] * c) for f in feats]
+    cc = channel_chunk or _channel_chunk(sizes, c, dtype.itemsize)
+    assert c % cc == 0, (c, cc)
 
-    kernel = _make_kernel(r, out_size, sampling_ratio, strides, sizes, c,
+    kernel = _make_kernel(r, out_size, sampling_ratio, strides, sizes, cc,
                           finest_scale, jnp.float32)
 
     if frame_idx is None:
@@ -178,27 +218,64 @@ def roi_align_fpn_pallas(feats: tuple,
     def _k(fidx_ref, *refs):
         kernel(*refs)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n,),
-        in_specs=[pl.BlockSpec((1, r, 4), lambda i, fidx: (i, 0, 0),
-                               memory_space=pltpu.SMEM)] + [
-            pl.BlockSpec((1, h, w * c),
-                         lambda i, fidx: (fidx[i], 0, 0),
-                         memory_space=pltpu.VMEM)
-            for (h, w) in sizes
-        ],
-        out_specs=pl.BlockSpec((1, r, out_size, out_size, c),
-                               lambda i, fidx: (i, 0, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-    )
+    if cc == c:
+        # single chunk (224 px and every training shape): 1-D grid over
+        # frames with the (1, H, W*C) pre-merged layout — kept separate
+        # from the chunked path below because this exact lowering is the
+        # measured 1365 clips/s configuration (the 4-D block variant with
+        # a degenerate chunk axis measured ~2.5% slower)
+        feat_args = [f.reshape(u, h, w * c) for f, (h, w) in
+                     zip(feats, sizes)]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n,),
+            in_specs=[pl.BlockSpec((1, r, 4), lambda i, fidx: (i, 0, 0),
+                                   memory_space=pltpu.SMEM)] + [
+                pl.BlockSpec((1, h, w * c),
+                             lambda i, fidx: (fidx[i], 0, 0),
+                             memory_space=pltpu.VMEM)
+                for (h, w) in sizes
+            ],
+            out_specs=pl.BlockSpec((1, r, out_size, out_size, c),
+                                   lambda i, fidx: (i, 0, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        )
+    else:
+        # channel-chunked grid (448 px+): frames INNERMOST so the
+        # consecutive-slot refetch-skip survives within each chunk sweep
+        feat_args = list(feats)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(c // cc, n),
+            in_specs=[pl.BlockSpec((1, r, 4),
+                                   lambda j, i, fidx: (i, 0, 0),
+                                   memory_space=pltpu.SMEM)] + [
+                pl.BlockSpec((1, h, w, cc),
+                             lambda j, i, fidx: (fidx[i], 0, 0, j),
+                             memory_space=pltpu.VMEM)
+                for (h, w) in sizes
+            ],
+            out_specs=pl.BlockSpec((1, r, out_size, out_size, cc),
+                                   lambda j, i, fidx: (i, 0, 0, 0, j),
+                                   memory_space=pltpu.VMEM),
+        )
+    # when even the minimum chunk's double-buffered blocks exceed the
+    # default scoped-vmem cap, lift the cap for this kernel (usage is
+    # real VMEM either way; v5e has 128 MiB)
+    block_bytes = sum(h * w for (h, w) in sizes) * cc * dtype.itemsize * 2
+    params = None
+    if block_bytes > _VMEM_BLOCK_BUDGET and not interpret:
+        params = pltpu.CompilerParams(
+            vmem_limit_bytes=min(block_bytes * 2 + 16 * 1024 * 1024,
+                                 120 * 1024 * 1024))
     out = pl.pallas_call(
         _k,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, r, out_size, out_size, c),
                                        dtype),
         interpret=interpret,
-    )(frame_idx.astype(jnp.int32), rois.astype(jnp.float32), *flat_feats)
+        **({'compiler_params': params} if params is not None else {}),
+    )(frame_idx.astype(jnp.int32), rois.astype(jnp.float32), *feat_args)
     return out
 
 

@@ -251,3 +251,43 @@ def test_pallas_frame_idx_matches_gather():
     for a_, b_ in zip(g, g_ref):
         np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_channel_chunking_matches_mm():
+    """Forced channel chunking (the 448 px VMEM split — at l2cs f32 the
+    P2 pyramid block alone is 12.8 MB, over the 16 MiB scoped-vmem
+    limit): a chunked grid must be exact vs the mm formulation, with and
+    without the scalar-prefetch frame map."""
+    import jax.numpy as jnp
+    from mcgaze_tpu.ops.roi_align import roi_align_fpn_mm
+    from mcgaze_tpu.ops.roi_align_pallas import (_channel_chunk,
+                                                 roi_align_fpn_pallas)
+    rng = np.random.RandomState(3)
+    feats = make_pyramid(rng, n=3, c=8, base=32)
+    fidx = np.array([0, 1, 1, 2, 0], np.int32)
+    rois = np.zeros((5, 3, 4), np.float32)
+    sizes = np.array([25, 90, 300], np.float32)
+    for n in range(5):
+        for r, s in enumerate(sizes):
+            x1 = rng.uniform(-10, 100)
+            y1 = rng.uniform(-10, 100)
+            rois[n, r] = [x1, y1, x1 + s * rng.uniform(0.5, 1.5), y1 + s]
+    gathered = tuple(np.asarray(f)[fidx] for f in feats)
+    ref = np.asarray(roi_align_fpn_mm(gathered, rois))
+    for cc in (2, 4):
+        a = np.asarray(roi_align_fpn_pallas(
+            gathered, rois, interpret=True, channel_chunk=cc))
+        np.testing.assert_allclose(ref, a, rtol=1e-5, atol=1e-5)
+        b = np.asarray(roi_align_fpn_pallas(
+            feats, rois, frame_idx=jnp.asarray(fidx), interpret=True,
+            channel_chunk=cc))
+        np.testing.assert_allclose(ref, b, rtol=1e-5, atol=1e-5)
+
+    # auto-selection: small pyramids stay single-chunk; the l2cs
+    # 448 px pyramid (levels 112..14, C=256) must split to the 128-lane
+    # Mosaic floor (the wrapper raises vmem_limit_bytes beyond that)
+    assert _channel_chunk(((56, 56), (28, 28), (14, 14), (7, 7)),
+                          256, 4) == 256
+    l2cs = ((112, 112), (56, 56), (28, 28), (14, 14))
+    assert _channel_chunk(l2cs, 256, 4) == 128
+    assert _channel_chunk(l2cs, 256, 2) == 128
