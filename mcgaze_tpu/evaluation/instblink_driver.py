@@ -1,0 +1,184 @@
+"""Whole-video inference driver for the InstBlink / TeViT family.
+
+The fork ships no video-level inference for these models
+(mpeblink.py:334 `prepare_test_clip` raises NotImplementedError); what
+it does ship is the per-clip forward + top-k selection
+(instblink_roi_head.py:285-426) and the FaceLinkerCalculator
+(face_linker_calculator.py: mean negated per-frame IoU cost between two
+clips' boxes, solved with Hungarian) for linking tracks across clips.
+This driver composes exactly those pieces:
+
+  1. slice the video into clip_length windows (stride = clip_length -
+     overlap, last window right-aligned — the same scheme as the gaze
+     eval driver / reference test_gaze360_gaze.py:73-86);
+  2. per clip: jitted forward -> top-k query tracks (frame-averaged
+     sigmoid scores, instblink_roi_head.py:356-383);
+  3. link each clip's tracks to the previous clip's via Hungarian on the
+     FaceLinker cost over the OVERLAP frames (mean negated IoU,
+     face_linker_calculator.py:135-185);
+  4. overlap frames average box/blink predictions between the two clips
+     (the gaze driver's stitching rule applied per track);
+  5. emit ytvis-style per-video results: score = mean clip score,
+     category = majority vote (reference result2json,
+     mpeblink.py:396-411), per-frame xywh boxes (None below threshold),
+     per-frame blink probabilities + converted events.
+
+Device work is one jitted program per clip batch; linking/stitching is
+tiny host numpy, matching where the reference runs it.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Tuple
+
+import numpy as np
+from scipy.optimize import linear_sum_assignment
+
+from .track_eval import blinks_to_events
+
+
+@dataclasses.dataclass(frozen=True)
+class InstBlinkEvalConfig:
+    clip_length: int = 11
+    overlap: int = 3
+    scale: Tuple[int, int] = (640, 360)
+    canvas: Tuple[int, int] = (384, 640)
+    max_per_img: int = 10
+    num_classes: int = 1
+    score_threshold: float = 0.3     # drop linked tracks below this
+    blink_threshold: float = 0.5
+
+
+def clip_windows(num_frames: int, clip_len: int, stride: int):
+    """[(start, overlap_with_previous)], last right-aligned."""
+    if num_frames <= clip_len:
+        return [(0, 0)]
+    starts = list(range(0, num_frames - clip_len, stride))
+    out = [(s, 0 if i == 0 else clip_len - stride)
+           for i, s in enumerate(starts)]
+    last = num_frames - clip_len
+    prev = starts[-1]
+    out.append((last, clip_len - (last - prev)))
+    return out
+
+
+def _pairwise_frame_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """a (K, F, 4), b (K2, F, 4) xyxy -> (K, K2) mean IoU over frames."""
+    k1, f, _ = a.shape
+    k2 = b.shape[0]
+    a_ = a[:, None]                              # (K, 1, F, 4)
+    b_ = b[None]                                 # (1, K2, F, 4)
+    lt = np.maximum(a_[..., :2], b_[..., :2])
+    rb = np.minimum(a_[..., 2:], b_[..., 2:])
+    wh = np.clip(rb - lt, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    area_a = np.clip(a_[..., 2] - a_[..., 0], 0, None) * \
+        np.clip(a_[..., 3] - a_[..., 1], 0, None)
+    area_b = np.clip(b_[..., 2] - b_[..., 0], 0, None) * \
+        np.clip(b_[..., 3] - b_[..., 1], 0, None)
+    union = np.maximum(area_a + area_b - inter, 1e-7)
+    return (inter / union).mean(-1)              # (K, K2)
+
+
+class InstBlinkVideoEvaluator:
+    """forward_fn(imgs (T, H, W, 3), whwh (T, 4)) -> dict with
+    scores (K,), labels (K,), boxes (T, K, 4) xyxy, blink (T, K)
+    (= topk_tracks output forced to numpy)."""
+
+    def __init__(self, forward_fn: Callable,
+                 cfg: InstBlinkEvalConfig = InstBlinkEvalConfig()):
+        self.forward = forward_fn
+        self.cfg = cfg
+
+    def run_video(self, frames_preprocessed, whwh, scale_factors,
+                  video_id: int) -> list:
+        """frames_preprocessed (F, H, W, 3); whwh (F, 4);
+        scale_factors (F, 4) resized/original. Returns list of per-track
+        result dicts (ytvis layout + blink fields)."""
+        cfg = self.cfg
+        f = len(frames_preprocessed)
+        t = min(cfg.clip_length, f)
+        stride = t - cfg.overlap
+        windows = clip_windows(f, t, max(stride, 1))
+        k = cfg.max_per_img
+
+        # video-level accumulators per linked track
+        boxes_v = np.zeros((k, f, 4), np.float32)
+        blink_v = np.zeros((k, f), np.float32)
+        counts = np.zeros((k, f), np.float32)
+        scores_acc = [[] for _ in range(k)]
+        labels_acc = [[] for _ in range(k)]
+
+        prev_boxes = None          # (K, T, 4) previous clip, video coords
+        prev_start = 0
+        order = np.arange(k)       # clip-track -> video-track mapping
+        for start, overlap in windows:
+            sl = slice(start, start + t)
+            out = self.forward(frames_preprocessed[sl], whwh[sl])
+            boxes = np.asarray(out['boxes'])                 # (T, K, 4)
+            # back to original-resolution coords (rescale=True semantics,
+            # instblink_roi_head.py:377-379)
+            boxes = boxes / scale_factors[sl][:, None, :]
+            scores = np.asarray(out['scores'])               # (K,)
+            labels = np.asarray(out['labels'])
+            blink = np.asarray(out.get('blink',
+                                       np.zeros((t, k), np.float32)))
+            tracks = boxes.transpose(1, 0, 2)                # (K, T, 4)
+
+            if prev_boxes is not None and overlap > 0:
+                # FaceLinker: cost = -mean IoU over the shared frames
+                ov_prev = prev_boxes[:, start - prev_start:
+                                     start - prev_start + overlap]
+                ov_new = tracks[:, :overlap]
+                cost = -_pairwise_frame_iou(ov_prev, ov_new)
+                rows, cols = linear_sum_assignment(cost)
+                remap = np.empty(k, np.int64)
+                remap[cols] = rows                           # new -> video
+                order = remap
+            else:
+                order = np.arange(k)
+
+            for new_i in range(k):
+                vid_i = int(order[new_i])
+                scores_acc[vid_i].append(float(scores[new_i]))
+                labels_acc[vid_i].append(int(labels[new_i]))
+                boxes_v[vid_i, sl] += tracks[new_i]
+                blink_v[vid_i, sl] += blink[:, new_i]
+                counts[vid_i, sl] += 1.0
+            # keep prev in video-track order for the next link:
+            # prev_boxes[vid_i] = this clip's track assigned to vid_i
+            inv = np.empty(k, np.int64)
+            inv[order] = np.arange(k)
+            prev_boxes = tracks[inv]
+            prev_start = start
+
+        counts = np.maximum(counts, 1.0)
+        boxes_v /= counts[..., None]
+        blink_v /= counts
+
+        results = []
+        for vid_i in range(k):
+            if not scores_acc[vid_i]:
+                continue
+            score = float(np.mean(scores_acc[vid_i]))
+            if score < cfg.score_threshold:
+                continue
+            label = int(np.bincount(labels_acc[vid_i]).argmax())
+            xywh = []
+            for fi in range(f):
+                b = boxes_v[vid_i, fi]
+                if counts[vid_i, fi] == 0 or not np.isfinite(b).all():
+                    xywh.append(None)
+                else:
+                    xywh.append([float(b[0]), float(b[1]),
+                                 float(b[2] - b[0]), float(b[3] - b[1])])
+            results.append(dict(
+                video_id=video_id,
+                score=score,
+                category_id=label + 1,
+                bboxes=xywh,
+                blink_scores=[float(x) for x in blink_v[vid_i]],
+                blinks_converted=blinks_to_events(
+                    blink_v[vid_i], cfg.blink_threshold),
+            ))
+        return results

@@ -1,0 +1,319 @@
+"""Generic query-based video detector: the TeViT / InstBlink family.
+
+The MCGaze reference descends from TeViT (video instance segmentation,
+arXiv 2105.01928) and InstBlink (MPEblink eyeblink detection, CVPR 2023)
+and still carries both models (README.md:156-158):
+
+  * detectors  /root/reference/mmdet/models/detectors/{tevit,instblink}.py
+  * roi heads  {tevit_roi_head,instblink_roi_head}.py — num_queries=100
+    learned proposals, num_stages=6 iterative refinement, clip-level
+    Hungarian assignment, per-frame losses, test-time top-k query
+    selection from frame-averaged scores (instblink_roi_head.py:356-383)
+  * blink head mask_heads/blink_head.py — per-query binary blink logit
+    trained with FocalLoss on INVERTED targets (blink=class 0,
+    blink_head.py:127)
+
+This module is the TPU-native rebuild: one flax module, static
+(B, T, num_queries) shapes, every stage unrolled into a single jitted
+program; the heads (TorchMHA / DynamicConv / MLPTower), RoIAlign and
+delta decoding are shared with the MCGaze path (models/heads.py,
+ops/roi_align.py, geometry.py).  Where MCGaze fixes 3 clue queries with
+a deterministic assigner, this family learns 100 instance queries and
+matches them to ground-truth tracks with the in-jit Hungarian solver
+(train/hungarian.py).
+
+Deviation notes vs the (partially gutted) fork sources:
+  * blink tower: blink_head.py:103-104 re-applies every layer to the raw
+    input (`blink_feat = blink_layer(proposal_feat)` inside the loop), so
+    the shipped tower degenerates to fc(ReLU(x)). We implement the
+    evident intent — a chained 2x(Dense-LN-ReLU) tower, identical in
+    structure to every other tower in the codebase.
+  * the fork's STQIHead/DIIHead were rewritten for 3 gaze clues
+    (stqi_head.py:88-99); the generic num_classes cls/reg heads here
+    restore the original commented-out form (dii_head.py:102-106) that
+    a 100-query detector requires.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..geometry import bbox_cxcywh_to_xyxy, delta2bbox
+from ..ops.roi_align import roi_align_fpn_mm
+from .fpn import FPN
+from .heads import LN_EPS, DynamicConv, MLPTower, TorchMHA
+from .resnet import ResNet
+
+
+@dataclasses.dataclass(frozen=True)
+class QueryDetectorConfig:
+    """InstBlink defaults (instblink_roi_head.py:15-17: num_stages=6;
+    configs/_base_/datasets/mpeblink.py: clip_length=11, 640x360)."""
+    backbone: str = 'resnet50'           # 'resnet50' | 'msgshift'
+    num_stages: int = 6
+    clip_length: int = 11
+    num_queries: int = 100
+    num_classes: int = 1                 # person_face
+    channels: int = 256
+    ffn_channels: int = 2048
+    num_heads: int = 8
+    dyn_feat_channels: int = 64
+    num_cls_fcs: int = 1
+    num_reg_fcs: int = 3
+    roi_size: int = 7
+    sampling_ratio: int = 2
+    strides: Tuple[int, ...] = (4, 8, 16, 32)
+    finest_scale: float = 56.0
+    with_blink: bool = True              # InstBlink; False -> TeViT boxes
+    max_per_img: int = 10                # test_cfg.max_per_img
+    dtype: str = 'float32'
+    roi_impl: str = 'auto'
+    # msgshift backbone knobs (models/msgshift.py)
+    msg_num_tokens: int = 32
+    msg_shift_strides: Tuple[int, ...] = (1, -1, 2, -2)
+    # losses (stage weights all 1.0 per instblink_roi_head.py:16)
+    loss_cls_weight: float = 2.0
+    loss_bbox_weight: float = 5.0
+    loss_iou_weight: float = 2.0
+    loss_blink_weight: float = 5.0       # blink_head.py:44-49
+    focal_gamma: float = 2.0
+    focal_alpha: float = 0.25
+    # matcher (DETR/QueryInst-family costs; the fork's own assigner is
+    # gutted — see train/hungarian.py docstring)
+    match_cls_weight: float = 2.0
+    match_l1_weight: float = 5.0
+    match_iou_weight: float = 2.0
+    max_instances: int = 8               # static GT slot count per clip
+
+    @property
+    def jnp_dtype(self):
+        return jnp.dtype(self.dtype)
+
+
+class GenericSTQIHead(nn.Module):
+    """One refinement stage of the generic (100-query) STQI head.
+
+    Same spatio-temporal interaction as the gaze STQIHead
+    (stqi_head.py:42-74: shared attention over queries within a frame,
+    then over frames per query, DynamicConv, FFN) with the ORIGINAL
+    generic classification/regression heads (dii_head.py:102-106
+    commented originals): one fc_cls -> num_classes, one fc_reg -> 4.
+    """
+    channels: int = 256
+    num_heads: int = 8
+    ffn_channels: int = 2048
+    feat_channels: int = 64
+    roi_size: int = 7
+    num_classes: int = 1
+    num_cls_fcs: int = 1
+    num_reg_fcs: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, roi_feat, query, clip_length):
+        """roi_feat: (N*Q, S, S, C); query: (N, Q, C); N = B*T.
+        Returns (cls_logits (N, Q, num_classes), deltas (N, Q, 4),
+        obj_feat (N, Q, C))."""
+        n, nq, c = query.shape
+        t = clip_length
+        b = n // t
+
+        attn = TorchMHA(self.channels, self.num_heads, dtype=self.dtype,
+                        name='attention')
+        attn_norm = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,
+                                 name='attention_norm')
+        # (a) spatial: queries of one frame attend to each other
+        q = attn_norm(attn(query))
+        # (b) temporal: same weights, each query across the T frames
+        q = q.reshape(b, t, nq, c).transpose(0, 2, 1, 3).reshape(b * nq, t, c)
+        q = attn_norm(attn(q))
+        q = q.reshape(b, nq, t, c).transpose(0, 2, 1, 3).reshape(n, nq, c)
+
+        # (c) DynamicConv instance interaction + residual + LN
+        flat_q = q.reshape(n * nq, c)
+        iic = DynamicConv(self.channels, self.feat_channels, self.roi_size,
+                          dtype=self.dtype,
+                          name='instance_interactive_conv')(flat_q, roi_feat)
+        obj = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,
+                           name='iic_norm')(flat_q + iic)
+
+        # (d) FFN
+        y = nn.Dense(self.ffn_channels, dtype=self.dtype, name='ffn_fc1')(obj)
+        y = nn.relu(y)
+        y = nn.Dense(self.channels, dtype=self.dtype, name='ffn_fc2')(y)
+        obj = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,
+                           name='ffn_norm')(obj + y)
+
+        # (e) towers + generic heads
+        cls_feat = MLPTower(c, self.num_cls_fcs, dtype=self.dtype,
+                            name='cls_tower')(obj)
+        reg_feat = MLPTower(c, self.num_reg_fcs, dtype=self.dtype,
+                            name='reg_tower')(obj)
+        cls_logits = nn.Dense(self.num_classes, dtype=self.dtype,
+                              name='fc_cls')(cls_feat).reshape(
+                                  n, nq, self.num_classes)
+        deltas = nn.Dense(4, dtype=self.dtype,
+                          name='fc_reg')(reg_feat).reshape(n, nq, 4)
+        return cls_logits, deltas, obj.reshape(n, nq, c)
+
+
+class BlinkHead(nn.Module):
+    """Per-query blink logit: 2x(Dense-LN-ReLU) + fc (blink_head.py:59-64;
+    see module docstring for the unchained-loop quirk we fix)."""
+    channels: int = 256
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, obj_feat):
+        """obj_feat (..., C) -> blink logits (...,)."""
+        x = MLPTower(self.channels, 2, dtype=self.dtype,
+                     name='blink_tower')(obj_feat)
+        return nn.Dense(1, dtype=self.dtype,
+                        name='fc_blink')(x)[..., 0]
+
+
+class QueryDetector(nn.Module):
+    """TeViT / InstBlink forward over a clip, every stage unrolled."""
+    cfg: QueryDetectorConfig
+
+    def setup(self):
+        cfg = self.cfg
+        dtype = cfg.jnp_dtype
+        q = cfg.num_queries
+        if cfg.backbone == 'msgshift':
+            from .msgshift import MsgShifT
+            self.backbone = MsgShifT(num_msg_tokens=cfg.msg_num_tokens,
+                                     shift_strides=cfg.msg_shift_strides,
+                                     dtype=dtype)
+        else:
+            self.backbone = ResNet(50, dtype=dtype)
+        # FPN laterals infer their input widths, so the same neck serves
+        # ResNet (256..2048) and MsgShifT (64..512) pyramids.
+        self.neck = FPN(cfg.channels, len(cfg.strides), dtype=dtype)
+        # EmbeddingRPNHead: 100 learned boxes (whole-image init) + feats
+        # (the generic original of fixed_embedding_rpn_head.py:41-53)
+        self.init_proposal_bboxes = self.param(
+            'init_proposal_bboxes',
+            lambda _k, shape: jnp.tile(
+                jnp.asarray([0.5, 0.5, 1.0, 1.0], jnp.float32), (q, 1)),
+            (q, 4))
+        self.init_proposal_features = self.param(
+            'init_proposal_features', nn.initializers.normal(1.0),
+            (q, cfg.channels))
+        self.bbox_head = tuple(
+            GenericSTQIHead(channels=cfg.channels, num_heads=cfg.num_heads,
+                            ffn_channels=cfg.ffn_channels,
+                            feat_channels=cfg.dyn_feat_channels,
+                            roi_size=cfg.roi_size,
+                            num_classes=cfg.num_classes,
+                            num_cls_fcs=cfg.num_cls_fcs,
+                            num_reg_fcs=cfg.num_reg_fcs, dtype=dtype)
+            for _ in range(cfg.num_stages))
+        if cfg.with_blink:
+            self.blink_head = tuple(
+                BlinkHead(cfg.channels, dtype=dtype)
+                for _ in range(cfg.num_stages))
+
+    def extract_features(self, imgs: jnp.ndarray,
+                         clip_length: int | None = None) -> tuple:
+        if self.cfg.backbone == 'msgshift':
+            t = clip_length or self.cfg.clip_length
+            return self.neck(self.backbone(
+                imgs.astype(self.cfg.jnp_dtype), clip_length=t))
+        return self.neck(self.backbone(imgs.astype(self.cfg.jnp_dtype)))
+
+    def run_heads(self, feats: tuple, img_whwh: jnp.ndarray,
+                  clip_length: int | None = None) -> dict:
+        cfg = self.cfg
+        t = clip_length or cfg.clip_length
+        dtype = cfg.jnp_dtype
+        n = img_whwh.shape[0]
+        q = cfg.num_queries
+
+        boxes = (bbox_cxcywh_to_xyxy(self.init_proposal_bboxes)[None]
+                 * img_whwh[:, None, :])
+        query = jnp.broadcast_to(
+            self.init_proposal_features[None].astype(dtype),
+            (n, q, cfg.channels))
+
+        stages_out = []
+        for stage in range(cfg.num_stages):
+            # detached inter-stage boxes (instblink_roi_head.py:142)
+            rois = jax.lax.stop_gradient(boxes)
+            impl = cfg.roi_impl
+            if impl == 'auto':
+                impl = 'pallas' if jax.default_backend() == 'tpu' else 'mm'
+            if impl == 'pallas':
+                from ..ops.roi_align_pallas import roi_align_fpn_pallas_diff
+                roi_feat = roi_align_fpn_pallas_diff(
+                    feats, rois.astype(jnp.float32), cfg.roi_size,
+                    cfg.sampling_ratio, cfg.strides, cfg.finest_scale)
+            else:
+                roi_feat = roi_align_fpn_mm(
+                    feats, rois.astype(jnp.float32), out_size=cfg.roi_size,
+                    sampling_ratio=cfg.sampling_ratio, strides=cfg.strides,
+                    finest_scale=cfg.finest_scale)
+            roi_feat = roi_feat.reshape(n * q, cfg.roi_size, cfg.roi_size,
+                                        cfg.channels)
+            cls_logits, deltas, obj = self.bbox_head[stage](
+                roi_feat, query, t)
+            boxes = delta2bbox(rois, deltas.astype(jnp.float32))
+            out = dict(cls_logits=cls_logits.astype(jnp.float32),
+                       boxes=boxes)
+            if cfg.with_blink:
+                out['blink_logits'] = self.blink_head[stage](
+                    obj).astype(jnp.float32)
+            stages_out.append(out)
+            query = obj
+
+        return dict(stages=stages_out)
+
+    def __call__(self, imgs: jnp.ndarray, img_whwh: jnp.ndarray,
+                 clip_length: int | None = None) -> dict:
+        """imgs (N, H, W, 3) normalised; img_whwh (N, 4); N = B*T.
+
+        Returns dict(stages=[dict(cls_logits (N, Q, C), boxes (N, Q, 4)
+        absolute xyxy, blink_logits (N, Q) when with_blink)]).
+        """
+        return self.run_heads(
+            self.extract_features(imgs, clip_length), img_whwh, clip_length)
+
+
+def topk_tracks(stage_out: dict, clip_length: int, max_per_img: int,
+                num_classes: int):
+    """Test-time per-clip track selection
+    (instblink_roi_head.py:351-383): sigmoid scores averaged over the
+    clip's frames, flattened (query, class) top-k; per-frame boxes of
+    the selected queries form the tracks.
+
+    stage_out: final-stage dict with leading dim N = T (B=1 eval).
+    Returns dict(scores (K,), labels (K,), boxes (T, K, 4),
+                 query_idx (K,), blink (T, K) sigmoid, if present).
+    """
+    cls = jax.nn.sigmoid(stage_out['cls_logits'])          # (T, Q, C)
+    mean_scores = cls.reshape(clip_length, -1).mean(0)     # (Q*C,)
+    scores, flat_idx = jax.lax.top_k(mean_scores, max_per_img)
+    qi = flat_idx // num_classes
+    labels = flat_idx % num_classes
+    boxes = stage_out['boxes'][:, qi]                      # (T, K, 4)
+    out = dict(scores=scores, labels=labels, boxes=boxes, query_idx=qi)
+    if 'blink_logits' in stage_out:
+        out['blink'] = jax.nn.sigmoid(stage_out['blink_logits'][:, qi])
+    return out
+
+
+def init_query_model(cfg: QueryDetectorConfig, rng: jax.Array,
+                     image_size=(360, 640)):
+    """Init params with dummy shapes (one clip). Returns (model, vars)."""
+    model = QueryDetector(cfg)
+    h, w = image_size
+    imgs = jnp.zeros((cfg.clip_length, h, w, 3), jnp.float32)
+    whwh = jnp.tile(jnp.asarray([[w, h, w, h]], jnp.float32),
+                    (cfg.clip_length, 1))
+    variables = jax.jit(model.init,
+                        static_argnames=())(rng, imgs, whwh)
+    return model, variables

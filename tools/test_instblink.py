@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""InstBlink / TeViT video inference + evaluation.
+
+  python tools/test_instblink.py <cfg> <ckpt> --out results.json --eval
+
+Per video: clip slicing + jitted forward + top-k tracks + FaceLinker
+track linking (evaluation/instblink_driver.py); --eval scores the
+results with the MPEblink track AP + blink action AP
+(evaluation/track_eval.py, the rebuild of the reference's
+mmdet/datasets/mpeblink_eval_api.py) or, for with_blink=False configs
+(TeViT), ytvis track AP only.
+"""
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument('config')
+    p.add_argument('checkpoint')
+    p.add_argument('--out', default=None, help='results JSON path')
+    p.add_argument('--eval', action='store_true',
+                   help='score tracks (+blinks) against the ann_file GT')
+    p.add_argument('--max-videos', type=int, default=0)
+    return p.parse_args()
+
+
+def gt_tracks_from_api(api, with_blinks):
+    """GT maps for evaluation/track_eval.py from a COCO-VID annotation."""
+    gt_by_vid_cat, blink_events = {}, {}
+    for vid_id in api.get_vid_ids():
+        for ann in api.anns_of_video(vid_id):
+            key = (vid_id, ann['category_id'])
+            gt_by_vid_cat.setdefault(key, []).append(
+                dict(id=ann['id'], track=ann['bboxes']))
+            if with_blinks and 'blinks' in ann:
+                blink_events[ann['id']] = [tuple(e) for e in ann['blinks']]
+    return gt_by_vid_cat, blink_events
+
+
+def main():
+    args = parse_args()
+    from mcgaze_tpu.utils.env import setup_jax_platform
+    setup_jax_platform()
+    import jax
+    import jax.numpy as jnp
+
+    from mcgaze_tpu.data.coco_vid import CocoVid
+    from mcgaze_tpu.data.instblink_dataset import InstBlinkClipDataset
+    from mcgaze_tpu.evaluation.instblink_driver import (
+        InstBlinkVideoEvaluator)
+    from mcgaze_tpu.evaluation.track_eval import (evaluate_tracks,
+                                                  mpeblink_blink_ap)
+    from mcgaze_tpu.models.query_detector import (QueryDetector,
+                                                  init_query_model,
+                                                  topk_tracks)
+    from mcgaze_tpu.utils.checkpoint import restore_checkpoint
+    from mcgaze_tpu.utils.query_config import load_query_config
+
+    cfg = load_query_config(args.config)
+    mc = cfg.model
+    model, variables = init_query_model(mc, jax.random.PRNGKey(0),
+                                        image_size=cfg.data_test.canvas)
+    ckpt = restore_checkpoint(args.checkpoint,
+                              target=dict(params=variables['params']))
+    variables = dict(variables, params=ckpt['params'])
+
+    @jax.jit
+    def fwd(imgs, whwh):
+        out = model.apply(variables, imgs, whwh,
+                          clip_length=imgs.shape[0])
+        return topk_tracks(out['stages'][-1], imgs.shape[0],
+                           mc.max_per_img, mc.num_classes)
+
+    def forward_np(imgs, whwh):
+        out = fwd(jnp.asarray(imgs), jnp.asarray(whwh))
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    ds = InstBlinkClipDataset(cfg.data_test)
+    evaluator = InstBlinkVideoEvaluator(forward_np, cfg.eval_cfg)
+
+    results = []
+    vids = ds.api.get_vid_ids()
+    if args.max_videos:
+        vids = vids[:args.max_videos]
+    for vid_id in vids:
+        paths = ds.video_paths(vid_id)
+        import cv2
+
+        from mcgaze_tpu.data import transforms as T
+        imgs, whwh, sfs = [], [], []
+        for p in paths:
+            img = cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB)
+            rimg, _b, sf = ds._resize(img, None)
+            h, w = rimg.shape[:2]
+            imgs.append(T.pad_to_canvas(T.normalize(rimg),
+                                        cfg.data_test.canvas))
+            whwh.append([w, h, w, h])
+            sfs.append(sf)
+        results.extend(evaluator.run_video(
+            np.stack(imgs), np.asarray(whwh, np.float32),
+            np.asarray(sfs, np.float32), vid_id))
+        print(f'video {vid_id}: {len(results)} tracks total')
+
+    out_path = args.out or 'results_instblink.json'
+    with open(out_path, 'w') as f:
+        json.dump(results, f)
+    print(f'wrote {out_path} ({len(results)} tracks)')
+
+    if args.eval:
+        gt_by_vid_cat, gt_blinks = gt_tracks_from_api(
+            ds.api, cfg.data_test.with_blinks)
+        dt_by_vid_cat, dt_blinks = {}, {}
+        for di, r in enumerate(results):
+            key = (r['video_id'], r['category_id'])
+            dt_by_vid_cat.setdefault(key, []).append(
+                dict(id=di + 1, score=r['score'], track=r['bboxes']))
+            dt_blinks[di + 1] = [tuple(e) for e in
+                                 r.get('blinks_converted', [])]
+        if cfg.data_test.with_blinks and gt_blinks:
+            res = mpeblink_blink_ap(gt_by_vid_cat, dt_by_vid_cat,
+                                    gt_blinks, dt_blinks)
+            tr = res['track']
+            print(f"track mAP {tr['mAP']:.4f}  AP50 {tr['AP50']:.4f}  "
+                  f"AP75 {tr['AP75']:.4f}  AR {tr['AR']:.4f}")
+            blink_at_50 = res[0.5]
+            print(f'blink action AP@[tIoU .5:.95] (inst IoU .5): '
+                  f'{blink_at_50.mean():.4f}  '
+                  f'AP@.5 {blink_at_50[0]:.4f}')
+        else:
+            tr = evaluate_tracks(gt_by_vid_cat, dt_by_vid_cat)
+            print(f"track mAP {tr['mAP']:.4f}  AP50 {tr['AP50']:.4f}  "
+                  f"AP75 {tr['AP75']:.4f}  AR {tr['AR']:.4f}")
+    return 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())
