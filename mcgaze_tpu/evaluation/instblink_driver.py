@@ -112,6 +112,7 @@ class InstBlinkVideoEvaluator:
         prev_boxes = None          # (K, T, 4) previous clip, video coords
         prev_start = 0
         order = np.arange(k)       # clip-track -> video-track mapping
+        has_blink = False          # TeViT (with_blink=False) emits none
         for start, overlap in windows:
             sl = slice(start, start + t)
             out = self.forward(frames_preprocessed[sl], whwh[sl])
@@ -121,6 +122,7 @@ class InstBlinkVideoEvaluator:
             boxes = boxes / scale_factors[sl][:, None, :]
             scores = np.asarray(out['scores'])               # (K,)
             labels = np.asarray(out['labels'])
+            has_blink = 'blink' in out
             blink = np.asarray(out.get('blink',
                                        np.zeros((t, k), np.float32)))
             tracks = boxes.transpose(1, 0, 2)                # (K, T, 4)
@@ -172,13 +174,15 @@ class InstBlinkVideoEvaluator:
                 else:
                     xywh.append([float(b[0]), float(b[1]),
                                  float(b[2] - b[0]), float(b[3] - b[1])])
-            results.append(dict(
+            res = dict(
                 video_id=video_id,
                 score=score,
                 category_id=label + 1,
                 bboxes=xywh,
-                blink_scores=[float(x) for x in blink_v[vid_i]],
-                blinks_converted=blinks_to_events(
-                    blink_v[vid_i], cfg.blink_threshold),
-            ))
+            )
+            if has_blink:          # InstBlink; TeViT tracks are box-only
+                res['blink_scores'] = [float(x) for x in blink_v[vid_i]]
+                res['blinks_converted'] = blinks_to_events(
+                    blink_v[vid_i], cfg.blink_threshold)
+            results.append(res)
         return results

@@ -124,37 +124,9 @@ def convert_mcgaze_checkpoint_dict(sd: dict, num_stages: int = 4) -> dict:
     for s in range(num_stages):
         tb = f'roi_head.bbox_head.{s}'
         jb = f'bbox_head_{s}'
-        # mmcv MultiheadAttention wraps torch MHA as `.attn`
-        _set(params, f'{jb}/attention/qkv/kernel',
-             _t(sd[f'{tb}.attention.attn.in_proj_weight']))
-        _set(params, f'{jb}/attention/qkv/bias',
-             np.asarray(sd[f'{tb}.attention.attn.in_proj_bias']))
-        _linear(params, f'{jb}/attention/out',
-                f'{tb}.attention.attn.out_proj', sd)
-        _ln(params, f'{jb}/attention_norm', f'{tb}.attention_norm', sd)
-
-        dc = f'{tb}.instance_interactive_conv'
-        jdc = f'{jb}/instance_interactive_conv'
-        _linear(params, f'{jdc}/dynamic_layer', f'{dc}.dynamic_layer', sd)
-        _ln(params, f'{jdc}/norm_in', f'{dc}.norm_in', sd)
-        _ln(params, f'{jdc}/norm_out', f'{dc}.norm_out', sd)
-        _linear(params, f'{jdc}/fc_layer', f'{dc}.fc_layer', sd)
-        _ln(params, f'{jdc}/fc_norm', f'{dc}.fc_norm', sd)
-        _ln(params, f'{jb}/iic_norm',
-            f'{tb}.instance_interactive_conv_norm', sd)
-
-        # mmcv FFN: layers.0.0 (Linear) + layers.1 (Linear)
-        _linear(params, f'{jb}/ffn_fc1', f'{tb}.ffn.layers.0.0', sd)
-        _linear(params, f'{jb}/ffn_fc2', f'{tb}.ffn.layers.1', sd)
-        _ln(params, f'{jb}/ffn_norm', f'{tb}.ffn_norm', sd)
-
-        # cls tower: cls_fcs = [Linear, LN, ReLU] * num_cls_fcs
-        _mlp_tower(params, f'{jb}/cls_tower',
-                   [(f'{tb}.cls_fcs.0', f'{tb}.cls_fcs.1')], sd)
-        # reg tower: reg_fcs = [Linear, LN, ReLU] * 3
-        _mlp_tower(params, f'{jb}/reg_tower',
-                   [(f'{tb}.reg_fcs.{3 * i}', f'{tb}.reg_fcs.{3 * i + 1}')
-                    for i in range(3)], sd)
+        # attention (mmcv wraps torch MHA as `.attn`), DynamicConv, FFN,
+        # cls/reg towers — shared with the query family (_stage_common)
+        _stage_common(params, sd, tb, jb, num_cls_fcs=1, num_reg_fcs=3)
         for clue in ('face', 'eyes', 'head'):
             _linear(params, f'{jb}/{clue}_fc_cls', f'{tb}.{clue}_fc_cls', sd)
             _linear(params, f'{jb}/{clue}_fc_reg', f'{tb}.{clue}_fc_reg', sd)
@@ -176,6 +148,119 @@ def convert_mcgaze_checkpoint_dict(sd: dict, num_stages: int = 4) -> dict:
         _linear(params, f'{jg}/fc_gaze', f'{tg}.fc_gaze', sd)
 
     return dict(params=params, stats=stats)
+
+
+def _stage_common(params, sd, tb, jb, num_cls_fcs, num_reg_fcs):
+    """The per-stage layers shared by the gaze STQIHead and the generic
+    query-family head: attention, DynamicConv, FFN, cls/reg towers
+    (stqi_head.py:40-82 ~ gaze_stqi_head.py:119-201)."""
+    _set(params, f'{jb}/attention/qkv/kernel',
+         _t(sd[f'{tb}.attention.attn.in_proj_weight']))
+    _set(params, f'{jb}/attention/qkv/bias',
+         np.asarray(sd[f'{tb}.attention.attn.in_proj_bias']))
+    _linear(params, f'{jb}/attention/out',
+            f'{tb}.attention.attn.out_proj', sd)
+    _ln(params, f'{jb}/attention_norm', f'{tb}.attention_norm', sd)
+
+    dc = f'{tb}.instance_interactive_conv'
+    jdc = f'{jb}/instance_interactive_conv'
+    _linear(params, f'{jdc}/dynamic_layer', f'{dc}.dynamic_layer', sd)
+    _ln(params, f'{jdc}/norm_in', f'{dc}.norm_in', sd)
+    _ln(params, f'{jdc}/norm_out', f'{dc}.norm_out', sd)
+    _linear(params, f'{jdc}/fc_layer', f'{dc}.fc_layer', sd)
+    _ln(params, f'{jdc}/fc_norm', f'{dc}.fc_norm', sd)
+    _ln(params, f'{jb}/iic_norm',
+        f'{tb}.instance_interactive_conv_norm', sd)
+
+    _linear(params, f'{jb}/ffn_fc1', f'{tb}.ffn.layers.0.0', sd)
+    _linear(params, f'{jb}/ffn_fc2', f'{tb}.ffn.layers.1', sd)
+    _ln(params, f'{jb}/ffn_norm', f'{tb}.ffn_norm', sd)
+
+    _mlp_tower(params, f'{jb}/cls_tower',
+               [(f'{tb}.cls_fcs.{3 * i}', f'{tb}.cls_fcs.{3 * i + 1}')
+                for i in range(num_cls_fcs)], sd)
+    _mlp_tower(params, f'{jb}/reg_tower',
+               [(f'{tb}.reg_fcs.{3 * i}', f'{tb}.reg_fcs.{3 * i + 1}')
+                for i in range(num_reg_fcs)], sd)
+
+
+def convert_query_checkpoint_dict(sd: dict, num_stages: int = 6,
+                                  with_blink: bool = True,
+                                  num_cls_fcs: int = 1,
+                                  num_reg_fcs: int = 3) -> dict:
+    """InstBlink / TeViT .pth state_dict -> query-detector variables.
+
+    The reference ships no configs or checkpoints for these families, so
+    the expected torch naming is read off the fork's module definitions:
+    the generic DII-style heads (fc_cls -> num_classes, fc_reg -> 4 with
+    cls_fcs/reg_fcs towers — the commented originals the rewritten
+    stqi_head.py descends from), EmbeddingRPNHead proposals, and
+    BlinkHead's `blink_fcs` 2x(bias-free Linear + LN) + `fc_blink`
+    (blink_head.py:59-64 — bias-free Linears map exactly because flax
+    Dense bias init is zeros). Accepts checkpoints that still carry the
+    pre-rewrite `mask_head` naming: init_detector rewrites
+    ('mask_head', 'blink_head') on load (apis/inference.py:46), and so
+    does this converter. ResNet backbones only (MsgShifT checkpoints
+    are not shipped anywhere in the reference lineage).
+    """
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    sd = {k[len('module.'):] if k.startswith('module.') else k: v
+          for k, v in sd.items()}
+    sd = {k.replace('mask_head', 'blink_head'): v for k, v in sd.items()}
+
+    convert_backbone(params, stats, sd)
+    for i in range(4):
+        _set(params, f'neck/lateral_{i}/kernel',
+             _conv(sd[f'neck.lateral_convs.{i}.conv.weight']))
+        _set(params, f'neck/lateral_{i}/bias',
+             np.asarray(sd[f'neck.lateral_convs.{i}.conv.bias']))
+        _set(params, f'neck/fpn_{i}/kernel',
+             _conv(sd[f'neck.fpn_convs.{i}.conv.weight']))
+        _set(params, f'neck/fpn_{i}/bias',
+             np.asarray(sd[f'neck.fpn_convs.{i}.conv.bias']))
+
+    _set(params, 'init_proposal_bboxes',
+         np.asarray(sd['rpn_head.init_proposal_bboxes.weight']))
+    _set(params, 'init_proposal_features',
+         np.asarray(sd['rpn_head.init_proposal_features.weight']))
+
+    for s in range(num_stages):
+        tb = f'roi_head.bbox_head.{s}'
+        jb = f'bbox_head_{s}'
+        _stage_common(params, sd, tb, jb, num_cls_fcs, num_reg_fcs)
+        _linear(params, f'{jb}/fc_cls', f'{tb}.fc_cls', sd)
+        _linear(params, f'{jb}/fc_reg', f'{tb}.fc_reg', sd)
+        if with_blink:
+            tg = f'roi_head.blink_head.{s}'
+            jg = f'blink_head_{s}'
+            _mlp_tower(params, f'{jg}/blink_tower',
+                       [(f'{tg}.blink_fcs.{3 * i}',
+                         f'{tg}.blink_fcs.{3 * i + 1}')
+                        for i in range(2)], sd)
+            _linear(params, f'{jg}/fc_blink', f'{tg}.fc_blink', sd)
+
+    return dict(params=params, stats=stats)
+
+
+def convert_query_torch_checkpoint(path: str, variables: dict,
+                                   num_stages: int = 6,
+                                   with_blink: bool = True,
+                                   num_cls_fcs: int = 1,
+                                   num_reg_fcs: int = 3) -> dict:
+    """Load an InstBlink/TeViT torch .pth and merge into init variables."""
+    import torch
+    ckpt = torch.load(path, map_location='cpu', weights_only=False)
+    sd = ckpt.get('state_dict', ckpt)
+    sd = {k: v.numpy() if hasattr(v, 'numpy') else v for k, v in sd.items()}
+    conv = convert_query_checkpoint_dict(sd, num_stages, with_blink,
+                                         num_cls_fcs, num_reg_fcs)
+    out = {'params': _merge_strict(variables['params'], conv['params'],
+                                   'convert_query_torch_checkpoint params')}
+    if 'stats' in variables:
+        out['stats'] = _merge_strict(variables['stats'], conv['stats'],
+                                     'convert_query_torch_checkpoint stats')
+    return out
 
 
 def _merge(dst, src, path=''):

@@ -1,7 +1,14 @@
 """TeViT variant: MsgShifT backbone inside the query detector, config
-loading (native + the reference's legacy dataset configs), and a
-sharded==unsharded check for the query train step.
+loading (native + the reference's legacy dataset configs), a
+sharded==unsharded check for the query train step, and the full
+YouTubeVIS-layout CLI chain (train on a fabricated blink-free dataset
+with the MsgShifT backbone -> checkpoint -> inference -> track AP).
 """
+import json
+import os
+import subprocess
+import sys
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -9,6 +16,8 @@ import pytest
 
 from mcgaze_tpu.models.query_detector import (QueryDetectorConfig,
                                               init_query_model)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 TINY_TEVIT = QueryDetectorConfig(
     backbone='msgshift', num_stages=2, clip_length=2, num_queries=8,
@@ -121,3 +130,93 @@ def test_query_train_step_sharded_matches_unsharded():
     for a, c in zip(l1, l2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                    rtol=5e-4, atol=5e-6)
+
+
+TEVIT_TINY_CFG = """
+from mcgaze_tpu.data.instblink_dataset import InstBlinkDataConfig
+from mcgaze_tpu.evaluation.instblink_driver import InstBlinkEvalConfig
+from mcgaze_tpu.models.query_detector import QueryDetectorConfig
+from mcgaze_tpu.train.loop import OptimConfig
+
+model = QueryDetectorConfig(
+    backbone='msgshift', num_stages=2, clip_length=3, num_queries=10,
+    num_classes=2, channels=32, ffn_channels=64, num_heads=4,
+    dyn_feat_channels=16, with_blink=False, max_per_img=4,
+    max_instances=3, msg_num_tokens=8, roi_impl='mm')
+optim = OptimConfig(lr=1e-4, max_iters=2, warmup_iters=1, lr_steps=(2,))
+data_train = InstBlinkDataConfig(
+    ann_file='{root}/train.json', img_prefix='{root}/rawframes/',
+    clip_length=3, scale=(64, 48), canvas=(64, 64), batch_size=2,
+    max_instances=3, with_blinks=False)
+data_test = InstBlinkDataConfig(
+    ann_file='{root}/train.json', img_prefix='{root}/rawframes/',
+    clip_length=3, scale=(64, 48), canvas=(64, 64), max_instances=3,
+    flip_ratio=0.0, keep_ratio=False, with_blinks=False)
+eval_cfg = InstBlinkEvalConfig(clip_length=3, overlap=1, max_per_img=4,
+                               num_classes=2, score_threshold=0.0,
+                               scale=(64, 48), canvas=(64, 64))
+work_dir = '{root}/work'
+"""
+
+
+def _fabricate_ytvis(root):
+    """Blink-free YouTubeVIS-layout COCO-VID: 2 videos x 2 instance
+    tracks with 2 categories and per-frame absences."""
+    import cv2
+    frames, h, w = 6, 48, 64
+    rng = np.random.RandomState(0)
+    videos, annotations = [], []
+    for vid in (1, 2):
+        names = []
+        d = root / f'rawframes/v{vid}'
+        d.mkdir(parents=True, exist_ok=True)
+        for fi in range(frames):
+            name = f'v{vid}/{fi:05d}.png'
+            cv2.imwrite(str(root / 'rawframes' / name),
+                        rng.randint(0, 255, (h, w, 3), np.uint8))
+            names.append(name)
+        videos.append(dict(id=vid, height=h, width=w, length=frames,
+                           file_names=names))
+        for inst in range(2):
+            bb = [None if (inst == 1 and fi == 0)
+                  else [5 + inst * 25, 5, 15, 20] for fi in range(frames)]
+            annotations.append(dict(
+                id=(vid - 1) * 2 + inst + 1, video_id=vid,
+                category_id=inst + 1, bboxes=bb))
+    (root / 'train.json').write_text(json.dumps(dict(
+        videos=videos, annotations=annotations,
+        categories=[dict(id=1, name='person'), dict(id=2, name='ytvis')])))
+
+
+@pytest.mark.slow
+def test_tevit_msgshift_cli_chain(tmp_path):
+    """train (MsgShifT, blink-free data) -> ckpt -> inference -> track AP
+    through the family CLIs — the TeViT counterpart of
+    test_instblink_cli.py's chain (which drives ResNet + blinks)."""
+    _fabricate_ytvis(tmp_path)
+    cfg = tmp_path / 'tevit_tiny.py'
+    cfg.write_text(TEVIT_TINY_CFG.format(root=tmp_path))
+    env = dict(os.environ, JAX_PLATFORMS='cpu',
+               PYTHONPATH=REPO + os.pathsep + os.environ.get(
+                   'PYTHONPATH', ''))
+
+    r = subprocess.run(
+        [sys.executable, f'{REPO}/tools/train_instblink.py', str(cfg),
+         '--max-iters', '2', '--log-interval', '1'],
+        cwd=tmp_path, env=env, capture_output=True, text=True, timeout=560)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert 'loss' in r.stdout and 'nan' not in r.stdout.lower()
+
+    r = subprocess.run(
+        [sys.executable, f'{REPO}/tools/test_instblink.py', str(cfg),
+         f'{tmp_path}/work/ckpt_2', '--out', f'{tmp_path}/results.json',
+         '--eval'],
+        cwd=tmp_path, env=env, capture_output=True, text=True, timeout=560)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert 'track mAP' in r.stdout
+    assert 'blink action AP' not in r.stdout    # with_blink=False branch
+    results = json.loads((tmp_path / 'results.json').read_text())
+    assert results, 'no tracks emitted'
+    for tr in results:
+        assert 'blink_scores' not in tr
+        assert len(tr['bboxes']) == 6

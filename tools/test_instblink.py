@@ -64,9 +64,17 @@ def main():
     mc = cfg.model
     model, variables = init_query_model(mc, jax.random.PRNGKey(0),
                                         image_size=cfg.data_test.canvas)
-    ckpt = restore_checkpoint(args.checkpoint,
-                              target=dict(params=variables['params']))
-    variables = dict(variables, params=ckpt['params'])
+    if args.checkpoint.endswith(('.pth', '.pt')):
+        from mcgaze_tpu.utils.torch_convert import (
+            convert_query_torch_checkpoint)
+        variables = convert_query_torch_checkpoint(
+            args.checkpoint, variables, num_stages=mc.num_stages,
+            with_blink=mc.with_blink, num_cls_fcs=mc.num_cls_fcs,
+            num_reg_fcs=mc.num_reg_fcs)
+    else:
+        ckpt = restore_checkpoint(args.checkpoint,
+                                  target=dict(params=variables['params']))
+        variables = dict(variables, params=ckpt['params'])
 
     @jax.jit
     def fwd(imgs, whwh):
