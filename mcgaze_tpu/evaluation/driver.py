@@ -129,6 +129,17 @@ class VideoGazeEvaluator:
     def __init__(self, forward_fn: Callable, cfg: EvalConfig = EvalConfig()):
         self.forward = forward_fn
         self.cfg = cfg
+        # host-time accounting per phase (seconds, cumulative) — decode
+        # and put run in the producer thread, the rest in the consumer;
+        # on a single-core host the cross-thread sum ~ wall time, which
+        # is what localises a host-bound pipeline (benchmark.py --e2e
+        # prints this breakdown)
+        self.phase_seconds: dict = {}
+
+    def _phase(self, name: str, t0: float):
+        import time
+        self.phase_seconds[name] = (self.phase_seconds.get(name, 0.0)
+                                    + time.perf_counter() - t0)
 
     def _submit_clips(self, imgs, whwh, starts, length):
         """Dispatches clips [start:start+length] batched WITHOUT forcing
@@ -248,11 +259,16 @@ class VideoGazeEvaluator:
         from ..data.prefetch import BatchPrefetcher
 
         def produce(vid, paths):
+            import time
+            t0 = time.perf_counter()
             imgs, whwh, sfs, f = self._decode_video(paths, vid)
+            self._phase('decode', t0)
             if device_put:
                 import jax
+                t0 = time.perf_counter()
                 imgs = jax.device_put(imgs)     # async H2D, whole video
                 whwh = jax.device_put(whwh)
+                self._phase('device_put', t0)
             return vid, (imgs, whwh, sfs, f)
 
         decoded = BatchPrefetcher(
@@ -272,6 +288,7 @@ class VideoGazeEvaluator:
         return self._run_preprocessed(imgs, whwh, sfs, f, video_id)
 
     def _run_preprocessed(self, imgs, whwh, sfs, f, video_id) -> dict:
+        import time
         cfg = self.cfg
         slices = clip_slices(f, cfg.clip_length, cfg.stride)
         length = slices[0][1]
@@ -279,15 +296,20 @@ class VideoGazeEvaluator:
         # batched forward over all clips of the video: submit every chunk
         # (async dispatch), then force — one device sync per video
         starts = [s[0] for s in slices]
+        t0 = time.perf_counter()
         pending = [self._submit_clips(imgs, whwh,
                                       starts[i:i + cfg.clip_batch], length)
                    for i in range(0, len(starts), cfg.clip_batch)]
+        self._phase('submit', t0)
         all_boxes, all_scores, all_gazes = [], [], []
+        t0 = time.perf_counter()
         for p in pending:
             b, s, g = self._collect_clips(p, length)
             all_boxes.append(b)
             all_scores.append(s)
             all_gazes.append(g)
+        self._phase('collect', t0)
+        t0 = time.perf_counter()
         boxes = np.concatenate(all_boxes)          # (K, T, 3, 4)
         scores = np.concatenate(all_scores)        # (K, T, 3)
         gazes = {k: np.concatenate([g[k] for g in all_gazes])
@@ -334,7 +356,9 @@ class VideoGazeEvaluator:
             vf[:, start:start + overlap] = (
                 vf[:, start:start + overlap] + cf[:, :overlap]) / 2
 
-        return self._to_result(video_id, vb, vg, vf)
+        out = self._to_result(video_id, vb, vg, vf)
+        self._phase('stitch', t0)
+        return out
 
     @staticmethod
     def _to_result(video_id, vb, vg, vf) -> dict:

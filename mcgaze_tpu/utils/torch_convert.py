@@ -184,10 +184,62 @@ def _stage_common(params, sd, tb, jb, num_cls_fcs, num_reg_fcs):
                 for i in range(num_reg_fcs)], sd)
 
 
+def convert_msgshift_backbone(params, sd, prefix='backbone.'):
+    """TeViT MsgShifT state_dict names -> backbone/* tree.
+
+    Structure is read off the state dict itself (stage/layer counts, sr
+    presence), matching the fork's module layout
+    (mmdet/models/backbones/msgshift.py): per stage i,
+    `layers.{i}.0` PatchEmbed (projection conv + norm), `layers.{i}.1.{l}`
+    PVTEncoderLayers (norm1; attn.attn packed torch MHA; attn.sr conv +
+    attn.norm when sr_ratio > 1; norm2; conv-FFN layers 0=fc1 1x1,
+    1=depthwise 3x3, 4=fc2 1x1), `layers.{i}.2` after-stage norm; plus
+    the learned `msg_tokens` (1, M, 3)."""
+    _set(params, 'backbone/msg_tokens',
+         np.asarray(sd[prefix + 'msg_tokens']))
+    i = 0
+    while f'{prefix}layers.{i}.0.projection.weight' in sd:
+        pe = f'{prefix}layers.{i}.0'
+        _set(params, f'backbone/patch_embed{i}/proj/kernel',
+             _conv(sd[f'{pe}.projection.weight']))
+        _set(params, f'backbone/patch_embed{i}/proj/bias',
+             np.asarray(sd[f'{pe}.projection.bias']))
+        _ln(params, f'backbone/patch_embed{i}/norm', f'{pe}.norm', sd)
+        lid = 0
+        while f'{prefix}layers.{i}.1.{lid}.norm1.weight' in sd:
+            tl = f'{prefix}layers.{i}.1.{lid}'
+            jl = f'backbone/stage{i}_layer{lid}'
+            _ln(params, f'{jl}/norm1', f'{tl}.norm1', sd)
+            _set(params, f'{jl}/attn/attn/qkv/kernel',
+                 _t(sd[f'{tl}.attn.attn.in_proj_weight']))
+            _set(params, f'{jl}/attn/attn/qkv/bias',
+                 np.asarray(sd[f'{tl}.attn.attn.in_proj_bias']))
+            _linear(params, f'{jl}/attn/attn/out',
+                    f'{tl}.attn.attn.out_proj', sd)
+            if f'{tl}.attn.sr.weight' in sd:
+                _set(params, f'{jl}/attn/sr/kernel',
+                     _conv(sd[f'{tl}.attn.sr.weight']))
+                _set(params, f'{jl}/attn/sr/bias',
+                     np.asarray(sd[f'{tl}.attn.sr.bias']))
+                _ln(params, f'{jl}/attn/sr_norm', f'{tl}.attn.norm', sd)
+            _ln(params, f'{jl}/norm2', f'{tl}.norm2', sd)
+            for jname, tidx in (('fc1', 0), ('dw', 1), ('fc2', 4)):
+                _set(params, f'{jl}/ffn/{jname}/kernel',
+                     _conv(sd[f'{tl}.ffn.layers.{tidx}.weight']))
+                _set(params, f'{jl}/ffn/{jname}/bias',
+                     np.asarray(sd[f'{tl}.ffn.layers.{tidx}.bias']))
+            lid += 1
+        assert lid, f'msgshift stage {i} has no encoder layers'
+        _ln(params, f'backbone/stage{i}_norm', f'{prefix}layers.{i}.2', sd)
+        i += 1
+    assert i, f'no msgshift stages found under {prefix!r}'
+
+
 def convert_query_checkpoint_dict(sd: dict, num_stages: int = 6,
                                   with_blink: bool = True,
                                   num_cls_fcs: int = 1,
-                                  num_reg_fcs: int = 3) -> dict:
+                                  num_reg_fcs: int = 3,
+                                  backbone: str = 'resnet50') -> dict:
     """InstBlink / TeViT .pth state_dict -> query-detector variables.
 
     The reference ships no configs or checkpoints for these families, so
@@ -200,8 +252,8 @@ def convert_query_checkpoint_dict(sd: dict, num_stages: int = 6,
     Dense bias init is zeros). Accepts checkpoints that still carry the
     pre-rewrite `mask_head` naming: init_detector rewrites
     ('mask_head', 'blink_head') on load (apis/inference.py:46), and so
-    does this converter. ResNet backbones only (MsgShifT checkpoints
-    are not shipped anywhere in the reference lineage).
+    does this converter. backbone='msgshift' reads the TeViT MsgShifT
+    layout instead of resnet (convert_msgshift_backbone).
     """
     params: Dict[str, Any] = {}
     stats: Dict[str, Any] = {}
@@ -209,7 +261,10 @@ def convert_query_checkpoint_dict(sd: dict, num_stages: int = 6,
           for k, v in sd.items()}
     sd = {k.replace('mask_head', 'blink_head'): v for k, v in sd.items()}
 
-    convert_backbone(params, stats, sd)
+    if backbone == 'msgshift':
+        convert_msgshift_backbone(params, sd)
+    else:
+        convert_backbone(params, stats, sd)
     for i in range(4):
         _set(params, f'neck/lateral_{i}/kernel',
              _conv(sd[f'neck.lateral_convs.{i}.conv.weight']))
@@ -247,14 +302,16 @@ def convert_query_torch_checkpoint(path: str, variables: dict,
                                    num_stages: int = 6,
                                    with_blink: bool = True,
                                    num_cls_fcs: int = 1,
-                                   num_reg_fcs: int = 3) -> dict:
+                                   num_reg_fcs: int = 3,
+                                   backbone: str = 'resnet50') -> dict:
     """Load an InstBlink/TeViT torch .pth and merge into init variables."""
     import torch
     ckpt = torch.load(path, map_location='cpu', weights_only=False)
     sd = ckpt.get('state_dict', ckpt)
     sd = {k: v.numpy() if hasattr(v, 'numpy') else v for k, v in sd.items()}
     conv = convert_query_checkpoint_dict(sd, num_stages, with_blink,
-                                         num_cls_fcs, num_reg_fcs)
+                                         num_cls_fcs, num_reg_fcs,
+                                         backbone)
     out = {'params': _merge_strict(variables['params'], conv['params'],
                                    'convert_query_torch_checkpoint params')}
     if 'stats' in variables:

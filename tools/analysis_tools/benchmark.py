@@ -234,6 +234,7 @@ def bench_e2e(args):
             evaluator.run_video_from_paths(paths, vid)
         else:
             list(evaluator.run_videos_from_paths([(vid, paths)]))
+    evaluator.phase_seconds.clear()
     t0 = time.perf_counter()
     frames = 0
     if args.serial:
@@ -250,6 +251,10 @@ def bench_e2e(args):
     print(f'E2E eval path ({mode}): {frames / dt:.1f} frames/s '
           f'({frames / dt / t:.1f} clips/s equivalent, {len(videos)} '
           f'videos, {frames} frames, {dt:.2f}s total)')
+    phases = ' '.join(f'{k}={v:.2f}s'
+                      for k, v in sorted(evaluator.phase_seconds.items()))
+    print(f'E2E host phases (cumulative; decode/device_put in the '
+          f'producer thread): {phases}')
 
 
 if __name__ == '__main__':
