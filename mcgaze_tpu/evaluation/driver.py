@@ -155,8 +155,16 @@ class VideoGazeEvaluator:
         9.38/9.06/14.16/24.79 ms — below k~8 the forward is
         latency-bound, so short-tail padding is free in wall-clock, and
         pow2 beats a pad-to-clip_batch single shape everywhere (NOTES.md
-        round 3 item 8). Returns (k, k_pad, boxes, scores, gazes) with
-        device arrays.
+        round 3 item 8).
+
+        The per-slot outputs (boxes, scores, four gaze vectors) are
+        packed into ONE (k_pad*length, 27) device array: every
+        device->host transfer on the tunnelled bench platform pays a
+        ~27 ms RTT, so reading 6 tiny arrays per chunk was RTT-bound
+        (measured 7.0 s of an 8.2 s 448 px e2e run spent in collect);
+        one packed array per VIDEO (chunks are concatenated on device in
+        _run_preprocessed) makes the readback cost one RTT. Returns
+        (k, k_pad, gaze_names, flat) with flat a device array.
         """
         cfg = self.cfg
         k = len(starts)
@@ -180,17 +188,32 @@ class VideoGazeEvaluator:
                 [np.arange(s, s + length) for s in starts])
             boxes, scores, gazes = self.forward(imgs[sel], whwh[sel],
                                                 length)
-        return k, k_pad, boxes, scores, gazes
+        import jax.numpy as jnp
+        names = tuple(sorted(gazes))
+        n = k_pad * length
+        flat = jnp.concatenate(
+            [jnp.reshape(boxes, (n, 12)).astype(jnp.float32),
+             jnp.reshape(scores, (n, 3)).astype(jnp.float32)] +
+            [jnp.reshape(gazes[m], (n, 3)).astype(jnp.float32)
+             for m in names], axis=1)
+        return k, k_pad, names, flat
+
+    @staticmethod
+    def _split_flat(flat, k, k_pad, names, length):
+        """(k_pad*length, 27) numpy -> (boxes, scores, gazes) per-clip."""
+        boxes = flat[:, :12].reshape(k_pad, length, 3, 4)[:k]
+        scores = flat[:, 12:15].reshape(k_pad, length, 3)[:k]
+        gazes = {m: flat[:, 15 + 3 * i:18 + 3 * i].reshape(
+                     k_pad, length, 3)[:k]
+                 for i, m in enumerate(names)}
+        return boxes, scores, gazes
 
     @staticmethod
     def _collect_clips(pending, length):
         """Forces a _submit_clips result to numpy per-clip preds."""
-        k, k_pad, boxes, scores, gazes = pending
-        boxes = np.asarray(boxes).reshape(k_pad, length, 3, 4)[:k]
-        scores = np.asarray(scores).reshape(k_pad, length, 3)[:k]
-        gazes = {name: np.asarray(g).reshape(k_pad, length, 3)[:k]
-                 for name, g in gazes.items()}
-        return boxes, scores, gazes
+        k, k_pad, names, flat = pending
+        return VideoGazeEvaluator._split_flat(np.asarray(flat), k, k_pad,
+                                              names, length)
 
     def _forward_clips(self, imgs, whwh, starts, length):
         """Submit + force in one call (single-chunk convenience)."""
@@ -243,7 +266,7 @@ class VideoGazeEvaluator:
         imgs, whwh, sfs, f = self._decode_video(paths, video_id)
         return self._run_preprocessed(imgs, whwh, sfs, f, video_id)
 
-    def run_videos_from_paths(self, videos, prefetch: int = 2,
+    def run_videos_from_paths(self, videos, prefetch: int = 4,
                               device_put: bool = True):
         """Pipelined eval over (video_id, paths) pairs: a background
         thread decodes videos N+1..N+prefetch through the C++ pool AND
@@ -255,7 +278,17 @@ class VideoGazeEvaluator:
         bottleneck). With device-resident frames the per-chunk clip
         gather in _submit_clips runs on-device instead of re-copying
         overlapping windows from the host. Yields per-video result dicts
-        in input order."""
+        in input order.
+
+        prefetch=4 default: the tunnelled bench platform degrades H2D to
+        ~50 MB/s (latency-serialized) after the FIRST device->host
+        readback of the process — an axon transfer-mode quirk (probed:
+        1.2 GB/s before any D2H, ~0.7 s per 36 MB video after, CPU-idle
+        wait, not dtype/shape/thread-specific, unrecoverable). Keeping
+        several decoded videos in flight keeps the transfer stream fed
+        behind compute: at 448 px (8x60-frame videos) prefetch 2 -> 4
+        measured 64.8 -> 86 frames/s; 6/8 plateau (85.1/82.9). Cost is
+        prefetch x one video of u8 frames in host+device memory."""
         from ..data.prefetch import BatchPrefetcher
 
         def produce(vid, paths):
@@ -303,11 +336,27 @@ class VideoGazeEvaluator:
         self._phase('submit', t0)
         all_boxes, all_scores, all_gazes = [], [], []
         t0 = time.perf_counter()
-        for p in pending:
-            b, s, g = self._collect_clips(p, length)
-            all_boxes.append(b)
-            all_scores.append(s)
-            all_gazes.append(g)
+        if len(pending) > 1:
+            # concatenate every chunk's packed output on device and read
+            # the whole video back in ONE transfer (see _submit_clips on
+            # the per-transfer RTT cost)
+            import jax.numpy as jnp
+            whole = np.asarray(jnp.concatenate([p[3] for p in pending], 0))
+            row = 0
+            for k, k_pad, names, _ in pending:
+                nrows = k_pad * length
+                b, s, g = self._split_flat(whole[row:row + nrows], k,
+                                           k_pad, names, length)
+                row += nrows
+                all_boxes.append(b)
+                all_scores.append(s)
+                all_gazes.append(g)
+        else:
+            for p in pending:
+                b, s, g = self._collect_clips(p, length)
+                all_boxes.append(b)
+                all_scores.append(s)
+                all_gazes.append(g)
         self._phase('collect', t0)
         t0 = time.perf_counter()
         boxes = np.concatenate(all_boxes)          # (K, T, 3, 4)
