@@ -148,6 +148,11 @@ def _make_kernel(num_rois: int, out_size: int, sampling_ratio: int,
 # 10 MiB pre-double-buffering.
 _VMEM_BLOCK_BUDGET = 10 * 1024 * 1024
 
+# Per-grid-step RoI cap: the kernel body unrolls over RoIs, and Mosaic
+# fails to lower the resulting program beyond a few dozen (see the
+# chunking branch in roi_align_fpn_pallas).
+_MAX_ROIS_PER_STEP = 16
+
 
 def _channel_chunk(sizes, c, itemsize):
     """Largest power-of-two channel block cc | C whose per-step pyramid
@@ -204,6 +209,40 @@ def roi_align_fpn_pallas(feats: tuple,
     u = feats[0].shape[0]
     sizes = tuple((f.shape[1], f.shape[2]) for f in feats)
     dtype = feats[0].dtype
+
+    if c % 128 != 0 and not interpret:
+        # Mosaic lane constraint: the kernel's (rows, C) intermediates
+        # need a 128-lane-multiple channel dim (measured: C=64 fails
+        # 'unsupported shape cast' even at R=3; C=128/256 compile). No
+        # shipped config is below 256 — only shrunken test/burn-in
+        # configs land here — so fall back to the XLA formulation.
+        from .roi_align import roi_align_fpn_mm
+        fsel = feats if frame_idx is None else tuple(f[frame_idx]
+                                                     for f in feats)
+        return roi_align_fpn_mm(fsel, rois, out_size=out_size,
+                                sampling_ratio=sampling_ratio,
+                                strides=strides,
+                                finest_scale=finest_scale)
+
+    if r > _MAX_ROIS_PER_STEP:
+        # the kernel unrolls its per-RoI loops, so a 100-query grid step
+        # (TeViT/InstBlink) produces a kernel Mosaic cannot lower
+        # ('infer-vector-layout: unsupported shape cast'; measured: R<=25
+        # compiles, R=50 does not). Split the RoI axis across grid steps
+        # instead: consecutive steps keep the same frame index, so the
+        # pipeline's same-block refetch skip means the pyramid still
+        # crosses HBM once per frame.
+        k = max(d for d in range(1, _MAX_ROIS_PER_STEP + 1) if r % d == 0)
+        if frame_idx is None:
+            assert u == n, (u, n)
+            frame_idx = jnp.arange(n, dtype=jnp.int32)
+        out = roi_align_fpn_pallas(
+            feats, rois.reshape(n * (r // k), k, 4), out_size=out_size,
+            sampling_ratio=sampling_ratio, strides=strides,
+            finest_scale=finest_scale,
+            frame_idx=jnp.repeat(frame_idx, r // k),
+            interpret=interpret, channel_chunk=channel_chunk)
+        return out.reshape(n, r, out_size, out_size, c)
 
     cc = channel_chunk or _channel_chunk(sizes, c, dtype.itemsize)
     assert c % cc == 0, (c, cc)

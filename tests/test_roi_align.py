@@ -291,3 +291,28 @@ def test_pallas_channel_chunking_matches_mm():
     l2cs = ((112, 112), (56, 56), (28, 28), (14, 14))
     assert _channel_chunk(l2cs, 256, 4) == 128
     assert _channel_chunk(l2cs, 256, 2) == 128
+
+
+@pytest.mark.parametrize('nq', [20, 17])
+def test_pallas_roi_chunking_matches_mm(nq):
+    """RoI counts above _MAX_ROIS_PER_STEP (the TeViT/InstBlink 100-query
+    family) split the RoI axis across grid steps — Mosaic cannot lower
+    the fully-unrolled kernel beyond a few dozen RoIs (measured on-chip:
+    R<=25 compiles, R=50 fails; chunked q=100/20/97 are bit-identical to
+    the mm formulation). nq=17 is prime: chunk size degrades to 1."""
+    from mcgaze_tpu.ops.roi_align import roi_align_fpn_mm
+    from mcgaze_tpu.ops.roi_align_pallas import (_MAX_ROIS_PER_STEP,
+                                                 roi_align_fpn_pallas)
+    assert nq > _MAX_ROIS_PER_STEP
+    rng = np.random.RandomState(3)
+    feats = make_pyramid(rng, n=2, c=8, base=32)
+    rois = np.zeros((2, nq, 4), np.float32)
+    for n in range(2):
+        for r in range(nq):
+            x1 = rng.uniform(-10, 100)
+            y1 = rng.uniform(-10, 100)
+            s = rng.uniform(10, 300)
+            rois[n, r] = [x1, y1, x1 + s * rng.uniform(0.5, 1.5), y1 + s]
+    a = np.asarray(roi_align_fpn_mm(feats, rois))
+    b = np.asarray(roi_align_fpn_pallas(feats, rois, interpret=True))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
