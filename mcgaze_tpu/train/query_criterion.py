@@ -9,8 +9,10 @@ semantics + blink_head.py:119-134):
                logits down; avg_factor = reduce_mean(num_pos))
   loss_bbox  = L1(boxes/whwh, gt/whwh)[pos] * 5.0 / num_pos
   loss_iou   = (1 - GIoU)[pos] * 2.0 / num_pos
-  loss_blink = focal(blink_logits[pos], 1 - blink_target) * 5.0 / num_pos
-               (targets INVERTED: blink = class 0, blink_head.py:127;
+  loss_blink = focal(blink_logits[pos], blink_target) * 5.0 / num_pos
+               (the reference's `1 - targets` at blink_head.py:127 is
+               mmcv label ENCODING — label 0 is the positive class — so
+               sigmoid(logit) = P(blink) there and here;
                avg_factor = positive count, blink_head.py:121-122)
 
 `num_pos` is the global positive count across the whole (sharded) batch,
@@ -88,12 +90,21 @@ def stage_losses(cfg: QueryDetectorConfig, stage_out: dict, batch: dict,
         weight=pos.reshape(-1), avg_factor=num_pos)
     if cfg.with_blink and 'blink_logits' in stage_out:
         blink_t = tg['blink_targets'].reshape(b * t, q)
-        # inverted target: blink frames are class 0 (blink_head.py:127);
-        # only positive samples enter (the reference gathers pos_inds
-        # before the head, instblink_roi_head.py:162-165)
+        # The reference's `blink_targets = 1 - blink_targets`
+        # (blink_head.py:127) is mmcv LABEL ENCODING, not a semantic
+        # flip: mmcv's sigmoid focal one-hots integer labels where label
+        # 0 IS the single positive class and label 1 (== num_classes) is
+        # background, so blink=1 -> label 0 -> positive and
+        # sigmoid(logit) is still P(blink). Our focal takes {0,1}
+        # probability targets directly (1 = positive), so blink_t passes
+        # through UNinverted — passing 1-blink_t trained the head to
+        # score non-blink frames high (caught by the on-chip burn-in:
+        # per-frame scores exactly complementary to GT, blink AP 0).
+        # Only positive samples enter (the reference gathers pos_inds
+        # before the head, instblink_roi_head.py:162-165).
         out['loss_blink'] = cfg.loss_blink_weight * L.sigmoid_focal_loss(
             stage_out['blink_logits'].reshape(-1),
-            (1.0 - blink_t).reshape(-1), weight=pos.reshape(-1),
+            blink_t.reshape(-1), weight=pos.reshape(-1),
             gamma=cfg.focal_gamma, alpha=cfg.focal_alpha,
             avg_factor=num_pos)
     out['num_pos'] = num_pos

@@ -3,9 +3,10 @@ train-signal smoke test (loss decreases under AdamW on a fixed clip).
 
 Reference behaviours pinned here: per-stage output shapes over
 (B*T, num_queries) (instblink_roi_head.py:77-147), frame-averaged
-sigmoid top-k selection (instblink_roi_head.py:356-383), inverted blink
-focal targets reaching the loss (blink_head.py:119-134 via
-train/query_criterion.py).
+sigmoid top-k selection (instblink_roi_head.py:356-383), and the blink
+focal SIGN — sigmoid(blink_logit) = P(blink), matching the reference
+where the `1 - targets` at blink_head.py:127 is mmcv label encoding
+(label 0 = the positive class), not a semantic flip.
 """
 import jax
 import jax.numpy as jnp
@@ -169,3 +170,51 @@ def test_training_signal(tiny_model):
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], losses
+
+
+def test_blink_loss_sign_rewards_high_score_on_blink():
+    """sigmoid(blink_logit) must mean P(blink): logits aligned with
+    gt_blinks give a (much) lower loss_blink than anti-aligned logits.
+    Pins the label-encoding translation of blink_head.py:127 (mmcv label
+    0 = positive class) — the on-chip burn-in caught the criterion
+    training the complement (scores exactly inverted vs GT, blink AP 0)."""
+    cfg = TINY
+    t, q, m, c = cfg.clip_length, 4, 2, cfg.num_classes
+    rng = np.random.RandomState(0)
+    gt_boxes = np.zeros((1, cfg.max_instances, t, 4), np.float32)
+    gt_boxes[0, :, :, 0] = np.arange(cfg.max_instances)[:, None] * 20 + 4
+    gt_boxes[0, :, :, 1] = 10
+    gt_boxes[0, :, :, 2] = gt_boxes[0, :, :, 0] + 12
+    gt_boxes[0, :, :, 3] = 30
+    gt_blinks = rng.randint(0, 2, size=(1, cfg.max_instances, t)
+                            ).astype(np.float32)
+    inst_valid = np.zeros((1, cfg.max_instances), bool)
+    inst_valid[0, :m] = True
+    batch = dict(
+        whwh=jnp.asarray(np.tile([[96., 64., 96., 64.]], (t, 1)),
+                         jnp.float32),
+        gt_boxes=jnp.asarray(gt_boxes),
+        gt_labels=jnp.zeros((1, cfg.max_instances), jnp.int32),
+        gt_present=jnp.ones((1, cfg.max_instances, t), bool),
+        inst_valid=jnp.asarray(inst_valid),
+        gt_blinks=jnp.asarray(gt_blinks))
+    # query i sits exactly on instance i with a confident class-0 score;
+    # surplus queries park far away with low scores
+    boxes = np.zeros((t, q, 4), np.float32)
+    boxes[:, :cfg.max_instances] = gt_boxes[0].transpose(1, 0, 2)
+    boxes[:, cfg.max_instances:] = [80., 50., 90., 60.]
+    cls_logits = np.full((t, q, c), -6.0, np.float32)
+    cls_logits[:, :m, 0] = 6.0
+    aligned = np.zeros((t, q), np.float32)
+    aligned[:, :m] = (2.0 * gt_blinks[0, :m].T - 1.0) * 8.0
+
+    def loss_blink(blink_logits):
+        out = dict(cls_logits=jnp.asarray(cls_logits),
+                   boxes=jnp.asarray(boxes, jnp.float32),
+                   blink_logits=jnp.asarray(blink_logits, jnp.float32))
+        return float(query_criterion.stage_losses(
+            cfg, out, batch, t)['loss_blink'])
+
+    low = loss_blink(aligned)
+    high = loss_blink(-aligned)
+    assert low < 0.1 * high, (low, high)
