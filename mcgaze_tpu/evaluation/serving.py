@@ -1,0 +1,352 @@
+"""Model-serving engine (reference surface: tools/deployment/
+mmdet2torchserve.py + mmdet_handler.py + test_torchserver.py).
+
+The reference deploys through TorchServe: an archive of config +
+checkpoint + a python handler, HTTP endpoints ``GET /ping`` and
+``POST /predictions/<model_name>`` (mmdet_handler.py:31-71 decodes the
+request image, runs inference_detector, and emits
+``[{class_name, bbox, score}]`` filtered at threshold 0.5). This module
+is the TPU-native equivalent, built for the framework's static-shape
+discipline instead of TorchServe's per-request dynamic batching:
+
+* **static compiled shapes** — every request is padded into a
+  pow2-bucketed ``(n_clips * clip_length)`` forward (the same bucketing
+  the eval driver uses), so a bounded set of XLA programs serves every
+  load;
+* **micro-batching** — concurrent requests ride the SAME device
+  dispatch (batching is where MXU utilization comes from on TPU); a
+  request waits at most ``batch_timeout_ms`` for co-riders;
+* **exact eval numerics** — frames run through the same
+  ``preprocess_frames`` + jitted forward as ``tools/test.py``, so a
+  served prediction equals the offline results-JSON entry.
+
+Request surface (mirrors the TorchServe handler):
+  * raw image bytes (JPEG/PNG body)  ->  flat list of
+    ``{class_name: face|eyes|head, bbox: [x1,y1,x2,y2], score, gaze}``
+    entries filtered at ``score_thr``, plus one
+    ``{class_name: 'fusion', gaze}`` entry. The single image is tiled
+    to a full clip (the model is temporal; a static image is a
+    constant-motion clip).
+  * JSON body ``{"frames": [<base64 jpg/png>, ...]}``  ->
+    ``{"frames": [<per-frame list as above>], "fusion_gazes": [...]}``.
+    Up to ``clip_length`` frames run through the micro-batcher
+    (right-padded by repeating the last frame — the reference's clip
+    window padding, gaze360.py:320-341); longer sequences run the full
+    video driver with overlap-averaged stitching and return the
+    results-JSON schema (tools/test_gaze360_gaze.py:210-259).
+
+Boxes are in cropped-image coordinates (``rescale=True`` semantics,
+multiclue_gaze_roi_head.py:363), xyxy like the reference handler.
+"""
+from __future__ import annotations
+
+import base64
+import dataclasses
+import itertools
+import json
+import os.path as osp
+import queue
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Callable, Optional
+
+import numpy as np
+
+from .driver import (EvalConfig, PERSON_THRESHOLD, VideoGazeEvaluator,
+                     preprocess_frames)
+
+CLUES = ('face', 'eyes', 'head')
+
+
+@dataclasses.dataclass(frozen=True)
+class ServeConfig:
+    model_name: str = 'mcgaze'
+    score_thr: float = PERSON_THRESHOLD
+    # Upper micro-batch bound, in clips. Shapes are pow2-bucketed up to
+    # this, so the compiled-program set is {1, 2, 4, ..., max_batch}.
+    max_batch: int = 8
+    # How long a request waits for co-riders before the batch launches.
+    # The device forward is ~1 ms/clip at 224 px, so a few ms of
+    # gathering is the right trade under load and negligible idle.
+    batch_timeout_ms: float = 5.0
+
+
+def decode_image_bytes(data: bytes) -> np.ndarray:
+    """JPEG/PNG bytes -> HxWx3 RGB uint8 (the handler's imfrombytes,
+    mmdet_handler.py:38)."""
+    import cv2
+    img = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
+    if img is None:
+        raise ValueError('request body is not a decodable image')
+    return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+
+def parse_request_body(body: bytes, content_type: str = '') -> list:
+    """Request body -> list of RGB uint8 frames.
+
+    JSON bodies carry base64 frames (``{"frames": [...]}``); anything
+    else is a single raw image (the TorchServe handler accepts both,
+    mmdet_handler.py:34-38)."""
+    is_json = 'json' in (content_type or '').lower() or (
+        body[:1] in (b'{', b'[') and b'"frames"' in body[:256])
+    if is_json:
+        payload = json.loads(body)
+        frames_b64 = payload['frames'] if isinstance(payload, dict) \
+            else payload
+        if not frames_b64:
+            raise ValueError('"frames" is empty')
+        return [decode_image_bytes(base64.b64decode(f))
+                for f in frames_b64]
+    return [decode_image_bytes(body)]
+
+
+class MicroBatcher:
+    """Gathers concurrent clip requests into one padded device forward.
+
+    forward(imgs (K*T, H, W, 3) f32, whwh (K*T, 4), T) ->
+        (boxes (K*T, 3, 4), scores (K*T, 3), gazes dict name->(K*T, 3))
+
+    One worker thread owns the device: it blocks for the first request,
+    then drains co-riders for up to timeout_ms (or max_batch), pads the
+    clip count to the next power of two (bounded compile shapes — same
+    discipline as driver._forward_clips), runs ONE forward, and fans
+    results back out through per-request events.
+    """
+
+    def __init__(self, forward: Callable, clip_length: int,
+                 max_batch: int = 8, timeout_ms: float = 5.0):
+        self.forward = forward
+        self.clip_length = clip_length
+        self.max_batch = max_batch
+        self.timeout_s = timeout_ms / 1000.0
+        self._queue: queue.Queue = queue.Queue()
+        self._stopped = False
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+        self.batch_sizes: list = []  # observability: clips per launch
+
+    def submit(self, imgs: np.ndarray, whwh: np.ndarray):
+        """imgs (T, H, W, 3) f32, whwh (T, 4) -> (boxes (T,3,4),
+        scores (T,3), gazes dict name->(T,3)). Blocks until served."""
+        t = self.clip_length
+        if imgs.shape[0] != t:
+            raise ValueError(f'need exactly {t} frames, got '
+                             f'{imgs.shape[0]} (pad upstream)')
+        done = threading.Event()
+        slot: dict = {}
+        self._queue.put((imgs, whwh, done, slot))
+        done.wait()
+        if 'error' in slot:
+            raise slot['error']
+        return slot['result']
+
+    def stop(self):
+        self._stopped = True
+        self._queue.put(None)
+        self._worker.join(timeout=5)
+
+    def _drain(self):
+        first = self._queue.get()
+        if first is None:
+            return None
+        items = [first]
+        import time
+        deadline = time.monotonic() + self.timeout_s
+        while len(items) < self.max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                nxt = self._queue.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if nxt is None:
+                return items  # serve what we have; next loop sees stop
+            items.append(nxt)
+        return items
+
+    def _run(self):
+        while not self._stopped:
+            items = self._drain()
+            if items is None:
+                return
+            try:
+                self._serve(items)
+            except Exception as e:  # surface to every waiter
+                for _, _, done, slot in items:
+                    slot['error'] = e
+                    done.set()
+
+    def _serve(self, items):
+        t = self.clip_length
+        k = len(items)
+        k_pad = 1 << (k - 1).bit_length()
+        self.batch_sizes.append(k)
+        imgs = np.concatenate([it[0] for it in items] +
+                              [items[0][0]] * (k_pad - k))
+        whwh = np.concatenate([it[1] for it in items] +
+                              [items[0][1]] * (k_pad - k))
+        boxes, scores, gazes = self.forward(imgs, whwh, t)
+        boxes = np.asarray(boxes)
+        scores = np.asarray(scores)
+        gazes = {name: np.asarray(g) for name, g in gazes.items()}
+        for i, (_, _, done, slot) in enumerate(items):
+            s = slice(i * t, (i + 1) * t)
+            slot['result'] = (boxes[s], scores[s],
+                              {name: g[s] for name, g in gazes.items()})
+            done.set()
+
+
+class GazeRequestProcessor:
+    """Decodes request payloads, preprocesses with the eval pipeline,
+    forwards through the micro-batcher, and formats handler-style JSON
+    (mmdet_handler.py:47-71 plus per-clue gaze vectors)."""
+
+    def __init__(self, forward_fn: Callable, eval_cfg: EvalConfig,
+                 serve_cfg: ServeConfig = ServeConfig()):
+        self.eval_cfg = eval_cfg
+        self.cfg = serve_cfg
+        self.batcher = MicroBatcher(forward_fn, eval_cfg.clip_length,
+                                    serve_cfg.max_batch,
+                                    serve_cfg.batch_timeout_ms)
+        # long requests (> clip_length frames) take the full video path:
+        # stitched, overlap-averaged — identical to tools/test.py output
+        self.evaluator = VideoGazeEvaluator(forward_fn, eval_cfg)
+        self._video_counter = itertools.count()
+
+    def close(self):
+        self.batcher.stop()
+
+    def warmup(self):
+        """Compile the single-clip shape so the first request is not a
+        compile stall."""
+        t = self.eval_cfg.clip_length
+        h, w = self.eval_cfg.canvas
+        self.batcher.submit(np.zeros((t, h, w, 3), np.float32),
+                            np.tile(np.array([w, h, w, h], np.float32),
+                                    (t, 1)))
+
+    def _forward_clip(self, frames: list):
+        """<= clip_length RGB frames -> per-frame (boxes, scores, gazes),
+        truncated back to the real frame count."""
+        t = self.eval_cfg.clip_length
+        f = len(frames)
+        if f > t:
+            raise ValueError(f'clip path takes <= {t} frames')
+        frames = list(frames) + [frames[-1]] * (t - f)
+        imgs, whwh, sfs = preprocess_frames(frames, self.eval_cfg)
+        boxes, scores, gazes = self.batcher.submit(imgs, whwh)
+        # rescale=True semantics: boxes back to cropped-image coords
+        boxes = boxes / sfs[:, None, :]
+        return (boxes[:f], scores[:f],
+                {name: g[:f] for name, g in gazes.items()})
+
+    def _format_frame(self, boxes, scores, gazes, fusion) -> list:
+        out = []
+        for qi, clue in enumerate(CLUES):
+            score = float(scores[qi])
+            if score < self.cfg.score_thr:
+                continue
+            out.append(dict(class_name=clue,
+                            bbox=[float(v) for v in boxes[qi]],
+                            score=score,
+                            gaze=[float(v) for v in gazes[clue]]))
+        out.append(dict(class_name='fusion',
+                        gaze=[float(v) for v in fusion]))
+        return out
+
+    def process_image_bytes(self, body: bytes) -> list:
+        """Single raw image -> flat handler-style list."""
+        return self._single_frame(decode_image_bytes(body))
+
+    def _single_frame(self, frame: np.ndarray) -> list:
+        t = self.eval_cfg.clip_length
+        boxes, scores, gazes = self._forward_clip([frame] * t)
+        # identical frames -> any row works; frame 0 by convention
+        return self._format_frame(
+            boxes[0], scores[0],
+            {name: g[0] for name, g in gazes.items()},
+            gazes['fusion'][0])
+
+    def process_frames(self, frames: list):
+        """Frame list -> clip response dict (or the stitched results-JSON
+        schema when the request is longer than one clip)."""
+        if len(frames) > self.eval_cfg.clip_length:
+            vid = next(self._video_counter)
+            return self.evaluator.run_video(frames, video_id=vid)
+        boxes, scores, gazes = self._forward_clip(frames)
+        per_frame = [
+            self._format_frame(boxes[i], scores[i],
+                               {n: g[i] for n, g in gazes.items()},
+                               gazes['fusion'][i])
+            for i in range(len(frames))]
+        return dict(frames=per_frame,
+                    fusion_gazes=[[float(v) for v in gazes['fusion'][i]]
+                                  for i in range(len(frames))])
+
+    def process_body(self, body: bytes, content_type: str = ''):
+        frames = parse_request_body(body, content_type)
+        if len(frames) == 1:
+            # one frame (raw bytes or 1-frame JSON): flat handler list
+            return self._single_frame(frames[0])
+        return self.process_frames(frames)
+
+
+# ---------------------------------------------------------------- server
+
+def resolve_package(path: str):
+    """A model package dir (tools/deployment/package_model.py — the
+    mmdet2torchserve .mar analogue) -> (config_path, checkpoint_path,
+    model_name). Returns None when `path` is not a package."""
+    manifest_path = osp.join(path, 'MANIFEST.json')
+    if not (osp.isdir(path) and osp.isfile(manifest_path)):
+        return None
+    manifest = json.load(open(manifest_path))
+    return (osp.join(path, manifest['config']),
+            osp.join(path, manifest['checkpoint']),
+            manifest['model_name'])
+
+
+def make_server(processor: GazeRequestProcessor, host: str = '127.0.0.1',
+                port: int = 8080) -> ThreadingHTTPServer:
+    """TorchServe-surface HTTP server: GET /ping, GET /models,
+    POST /predictions/<model_name>."""
+    model_name = processor.cfg.model_name
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet per-request stderr
+            pass
+
+        def _json(self, code: int, obj):
+            data = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header('Content-Type', 'application/json')
+            self.send_header('Content-Length', str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_GET(self):
+            if self.path == '/ping':
+                self._json(200, {'status': 'Healthy'})
+            elif self.path == '/models':
+                self._json(200, {'models': [
+                    {'modelName': model_name,
+                     'modelUrl': f'/predictions/{model_name}'}]})
+            else:
+                self._json(404, {'error': f'no such path {self.path}'})
+
+        def do_POST(self):
+            if self.path != f'/predictions/{model_name}':
+                self._json(404, {'error': f'no model at {self.path}; '
+                                 f'serving /predictions/{model_name}'})
+                return
+            try:
+                length = int(self.headers.get('Content-Length', 0))
+                body = self.rfile.read(length)
+                result = processor.process_body(
+                    body, self.headers.get('Content-Type', ''))
+                self._json(200, result)
+            except Exception as e:
+                self._json(503, {'error': str(e)})
+
+    return ThreadingHTTPServer((host, port), Handler)
