@@ -119,6 +119,27 @@ def preprocess_frames(frames: list, cfg: EvalConfig, ratios=None):
     return np.stack(imgs), np.stack(whwh), np.stack(sfs)
 
 
+def preprocess_frames_u8(frames: list, cfg: EvalConfig, ratios=None):
+    """uint8 variant of preprocess_frames: identical crop/resize/pad
+    geometry but NO host-side normalization, so frames ship to the
+    device as raw u8 (4x less H2D traffic; the jitted forward
+    normalizes + zeroes the pad on-device —
+    evaluation/forward.py::normalize; equality proven by
+    test_native_dataset.py::test_ship_uint8_eval_matches_f32)."""
+    if ratios is None:
+        ratios = [cfg.crop_ratio] * len(frames)
+    imgs, whwh, sfs = [], [], []
+    for fr, ratio in zip(frames, ratios):
+        if ratio is not None:
+            fr, _, _, _ = T.center_crop(fr, ratio)
+        fr, _, sf = T.resize_keep_ratio(fr, cfg.scale)
+        h, w = fr.shape[:2]
+        imgs.append(T.pad_to_canvas(fr, cfg.canvas))
+        whwh.append(np.array([w, h, w, h], np.float32))
+        sfs.append(sf)
+    return np.stack(imgs), np.stack(whwh), np.stack(sfs)
+
+
 class VideoGazeEvaluator:
     """Stitches batched clip predictions into per-video tracks.
 

@@ -53,7 +53,7 @@ from typing import Callable, Optional
 import numpy as np
 
 from .driver import (EvalConfig, PERSON_THRESHOLD, VideoGazeEvaluator,
-                     preprocess_frames)
+                     preprocess_frames, preprocess_frames_u8)
 
 CLUES = ('face', 'eyes', 'head')
 
@@ -126,12 +126,20 @@ class MicroBatcher:
         self.batch_sizes: list = []  # observability: clips per launch
 
     def submit(self, imgs: np.ndarray, whwh: np.ndarray):
-        """imgs (T, H, W, 3) f32, whwh (T, 4) -> (boxes (T,3,4),
+        """imgs (T, H, W, 3) u8|f32, whwh (T, 4) -> (boxes (T,3,4),
         scores (T,3), gazes dict name->(T,3)). Blocks until served."""
         t = self.clip_length
         if imgs.shape[0] != t:
             raise ValueError(f'need exactly {t} frames, got '
                              f'{imgs.shape[0]} (pad upstream)')
+        # producer-side H2D (same trick as the eval driver): each client
+        # thread starts its own async transfer here, so uploads stream
+        # concurrently instead of serializing on the worker before the
+        # forward — on the degraded-H2D bench tunnel this is the
+        # difference between the batch waiting on k transfers and
+        # waiting on none
+        import jax
+        imgs = jax.device_put(imgs)
         done = threading.Event()
         slot: dict = {}
         self._queue.put((imgs, whwh, done, slot))
@@ -182,14 +190,30 @@ class MicroBatcher:
         k = len(items)
         k_pad = 1 << (k - 1).bit_length()
         self.batch_sizes.append(k)
-        imgs = np.concatenate([it[0] for it in items] +
-                              [items[0][0]] * (k_pad - k))
+        import jax.numpy as jnp
+        # device-side concat: items arrived as device arrays (submit's
+        # producer-side put), so batching moves no bytes over PCIe/tunnel
+        imgs = jnp.concatenate([it[0] for it in items] +
+                               [items[0][0]] * (k_pad - k))
         whwh = np.concatenate([it[1] for it in items] +
                               [items[0][1]] * (k_pad - k))
         boxes, scores, gazes = self.forward(imgs, whwh, t)
-        boxes = np.asarray(boxes)
-        scores = np.asarray(scores)
-        gazes = {name: np.asarray(g) for name, g in gazes.items()}
+        # ONE packed device->host readback instead of six: on the
+        # tunnelled bench platform each transfer pays the ~27 ms RTT
+        # (same finding as driver._submit_clips / NOTES round-3 item
+        # 12), which dominated per-request latency before packing.
+        names = sorted(gazes)
+        parts = [boxes, scores] + [gazes[m] for m in names]
+        shapes = [p.shape[1:] for p in parts]
+        n = k_pad * t
+        flat = np.asarray(jnp.concatenate(
+            [jnp.reshape(p, (n, -1)).astype(jnp.float32) for p in parts],
+            axis=-1))
+        offs = np.cumsum([0] + [int(np.prod(s)) for s in shapes])
+        unpacked = [flat[:, offs[i]:offs[i + 1]].reshape((n,) + tuple(s))
+                    for i, s in enumerate(shapes)]
+        boxes, scores = unpacked[0], unpacked[1]
+        gazes = dict(zip(names, unpacked[2:]))
         for i, (_, _, done, slot) in enumerate(items):
             s = slice(i * t, (i + 1) * t)
             slot['result'] = (boxes[s], scores[s],
@@ -206,6 +230,9 @@ class GazeRequestProcessor:
                  serve_cfg: ServeConfig = ServeConfig()):
         self.eval_cfg = eval_cfg
         self.cfg = serve_cfg
+        # ship raw u8 frames when the forward normalizes on-device
+        # (evaluation/forward.py::bind_forward): 4x less H2D per request
+        self.ship_u8 = bool(getattr(forward_fn, 'accepts_uint8', False))
         self.batcher = MicroBatcher(forward_fn, eval_cfg.clip_length,
                                     serve_cfg.max_batch,
                                     serve_cfg.batch_timeout_ms)
@@ -218,13 +245,24 @@ class GazeRequestProcessor:
         self.batcher.stop()
 
     def warmup(self):
-        """Compile the single-clip shape so the first request is not a
-        compile stall."""
+        """Compile EVERY pow2 micro-batch bucket up to max_batch before
+        accepting traffic, so no request — including the first concurrent
+        burst — hits a compile stall. Runs on the batcher's forward
+        directly (the worker is idle before the server starts)."""
         t = self.eval_cfg.clip_length
         h, w = self.eval_cfg.canvas
-        self.batcher.submit(np.zeros((t, h, w, 3), np.float32),
-                            np.tile(np.array([w, h, w, h], np.float32),
-                                    (t, 1)))
+        dtype = np.uint8 if self.ship_u8 else np.float32
+        k = 1
+        while k <= self.cfg.max_batch:
+            imgs = np.zeros((k * t, h, w, 3), dtype)
+            whwh = np.tile(np.array([w, h, w, h], np.float32), (k * t, 1))
+            boxes, _, _ = self.batcher.forward(imgs, whwh, t)
+            np.asarray(boxes)  # force compile + execute
+            k *= 2
+
+    def _preprocess(self, frames: list):
+        prep = preprocess_frames_u8 if self.ship_u8 else preprocess_frames
+        return prep(frames, self.eval_cfg)
 
     def _forward_clip(self, frames: list):
         """<= clip_length RGB frames -> per-frame (boxes, scores, gazes),
@@ -234,7 +272,7 @@ class GazeRequestProcessor:
         if f > t:
             raise ValueError(f'clip path takes <= {t} frames')
         frames = list(frames) + [frames[-1]] * (t - f)
-        imgs, whwh, sfs = preprocess_frames(frames, self.eval_cfg)
+        imgs, whwh, sfs = self._preprocess(frames)
         boxes, scores, gazes = self.batcher.submit(imgs, whwh)
         # rescale=True semantics: boxes back to cropped-image coords
         boxes = boxes / sfs[:, None, :]
@@ -261,7 +299,12 @@ class GazeRequestProcessor:
 
     def _single_frame(self, frame: np.ndarray) -> list:
         t = self.eval_cfg.clip_length
-        boxes, scores, gazes = self._forward_clip([frame] * t)
+        # preprocess ONCE and tile on host — the clip is t copies of the
+        # same frame, so crop/resize t times would be pure waste
+        imgs, whwh, sfs = self._preprocess([frame])
+        boxes, scores, gazes = self.batcher.submit(
+            np.repeat(imgs, t, axis=0), np.repeat(whwh, t, axis=0))
+        boxes = boxes / sfs[0][None, :]
         # identical frames -> any row works; frame 0 by convention
         return self._format_frame(
             boxes[0], scores[0],

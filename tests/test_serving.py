@@ -146,6 +146,43 @@ def test_micro_batcher_surfaces_errors():
         mb.stop()
 
 
+def test_ship_dtype_follows_forward_capability():
+    """A forward that normalizes on-device (accepts_uint8) receives raw
+    u8 frames (4x less H2D); a plain-f32 forward receives normalized
+    f32 — mirroring EvalConfig.ship_uint8's contract."""
+    from mcgaze_tpu.evaluation.driver import EvalConfig
+    from mcgaze_tpu.evaluation.serving import GazeRequestProcessor
+
+    seen = {}
+
+    def fake_forward(imgs, whwh, t):
+        seen['dtype'] = imgs.dtype
+        n = imgs.shape[0]
+        z = np.zeros((n, 3), np.float32)
+        return (np.zeros((n, 3, 4), np.float32), z,
+                {m: z for m in ('fusion', 'face', 'eyes', 'head')})
+
+    eval_cfg = EvalConfig(scale=(16, 16), canvas=(16, 16), clip_length=2)
+    frame = np.zeros((20, 20, 3), np.uint8)
+
+    proc = GazeRequestProcessor(fake_forward, eval_cfg)
+    try:
+        assert not proc.ship_u8
+        proc.process_frames([frame, frame])
+        assert seen['dtype'] == np.float32
+    finally:
+        proc.close()
+
+    fake_forward.accepts_uint8 = True
+    proc = GazeRequestProcessor(fake_forward, eval_cfg)
+    try:
+        assert proc.ship_u8
+        proc.process_frames([frame, frame])
+        assert seen['dtype'] == np.uint8
+    finally:
+        proc.close()
+
+
 def test_single_image_handler_format(processor):
     rng = np.random.RandomState(1)
     out = processor.process_image_bytes(encode_jpg(rand_img(rng)))
