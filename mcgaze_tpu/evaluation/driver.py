@@ -140,6 +140,23 @@ def preprocess_frames_u8(frames: list, cfg: EvalConfig, ratios=None):
     return np.stack(imgs), np.stack(whwh), np.stack(sfs)
 
 
+def pack_outputs(boxes, scores, gazes):
+    """Forward outputs -> (gaze_names, flat (N, 27) device array): one
+    packed array so the device->host readback is ONE transfer instead of
+    six (each transfer through the tunnelled bench platform pays a
+    ~27 ms RTT). Shared by the eval driver (per-video readback) and the
+    serving engine (per-launch readback); _split_flat inverts it."""
+    import jax.numpy as jnp
+    names = tuple(sorted(gazes))
+    n = boxes.shape[0]
+    flat = jnp.concatenate(
+        [jnp.reshape(boxes, (n, 12)).astype(jnp.float32),
+         jnp.reshape(scores, (n, 3)).astype(jnp.float32)] +
+        [jnp.reshape(gazes[m], (n, 3)).astype(jnp.float32)
+         for m in names], axis=1)
+    return names, flat
+
+
 class VideoGazeEvaluator:
     """Stitches batched clip predictions into per-video tracks.
 
@@ -209,14 +226,7 @@ class VideoGazeEvaluator:
                 [np.arange(s, s + length) for s in starts])
             boxes, scores, gazes = self.forward(imgs[sel], whwh[sel],
                                                 length)
-        import jax.numpy as jnp
-        names = tuple(sorted(gazes))
-        n = k_pad * length
-        flat = jnp.concatenate(
-            [jnp.reshape(boxes, (n, 12)).astype(jnp.float32),
-             jnp.reshape(scores, (n, 3)).astype(jnp.float32)] +
-            [jnp.reshape(gazes[m], (n, 3)).astype(jnp.float32)
-             for m in names], axis=1)
+        names, flat = pack_outputs(boxes, scores, gazes)
         return k, k_pad, names, flat
 
     @staticmethod
@@ -337,8 +347,14 @@ class VideoGazeEvaluator:
     def run_video(self, frames: list, video_id: int) -> dict:
         cfg = self.cfg
         f = len(frames)
-        imgs, whwh, sfs = preprocess_frames(frames, cfg,
-                                            crop_ratios(cfg, f, video_id))
+        # same u8-shipping rule as the native-loader path (_decode_video):
+        # raw frames + on-device normalize when the forward supports it —
+        # so this path runs the SAME compiled programs as the CLI flow
+        prep = (preprocess_frames_u8
+                if cfg.ship_uint8 and getattr(self.forward,
+                                              'accepts_uint8', False)
+                else preprocess_frames)
+        imgs, whwh, sfs = prep(frames, cfg, crop_ratios(cfg, f, video_id))
         return self._run_preprocessed(imgs, whwh, sfs, f, video_id)
 
     def _run_preprocessed(self, imgs, whwh, sfs, f, video_id) -> dict:

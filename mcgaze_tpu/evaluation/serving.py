@@ -81,15 +81,18 @@ def decode_image_bytes(data: bytes) -> np.ndarray:
     return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
 
 
+def is_json_body(body: bytes, content_type: str = '') -> bool:
+    return 'json' in (content_type or '').lower() or (
+        body[:1] in (b'{', b'[') and b'"frames"' in body[:256])
+
+
 def parse_request_body(body: bytes, content_type: str = '') -> list:
     """Request body -> list of RGB uint8 frames.
 
     JSON bodies carry base64 frames (``{"frames": [...]}``); anything
     else is a single raw image (the TorchServe handler accepts both,
     mmdet_handler.py:34-38)."""
-    is_json = 'json' in (content_type or '').lower() or (
-        body[:1] in (b'{', b'[') and b'"frames"' in body[:256])
-    if is_json:
+    if is_json_body(body, content_type):
         payload = json.loads(body)
         frames_b64 = payload['frames'] if isinstance(payload, dict) \
             else payload
@@ -98,6 +101,22 @@ def parse_request_body(body: bytes, content_type: str = '') -> list:
         return [decode_image_bytes(base64.b64decode(f))
                 for f in frames_b64]
     return [decode_image_bytes(body)]
+
+
+def packed_readback(boxes, scores, gazes):
+    """Bring forward outputs to host via ONE packed device->host
+    transfer instead of six: on the tunnelled bench platform each
+    transfer pays the ~27 ms RTT (same finding as driver._submit_clips
+    / NOTES round-3 item 12), which dominated per-request latency
+    before packing. Uses the driver's pack/split pair so the 27-column
+    layout has a single definition; shared by the serve path and warmup
+    so the packing programs themselves compile before traffic."""
+    from .driver import VideoGazeEvaluator, pack_outputs
+    names, flat = pack_outputs(boxes, scores, gazes)
+    n = boxes.shape[0]
+    b, s, g = VideoGazeEvaluator._split_flat(np.asarray(flat), 1, 1,
+                                             names, n)
+    return b[0], s[0], {m: v[0] for m, v in g.items()}
 
 
 class MicroBatcher:
@@ -132,6 +151,8 @@ class MicroBatcher:
         if imgs.shape[0] != t:
             raise ValueError(f'need exactly {t} frames, got '
                              f'{imgs.shape[0]} (pad upstream)')
+        if self._stopped:
+            raise RuntimeError('MicroBatcher is stopped')
         # producer-side H2D (same trick as the eval driver): each client
         # thread starts its own async transfer here, so uploads stream
         # concurrently instead of serializing on the worker before the
@@ -152,6 +173,17 @@ class MicroBatcher:
         self._stopped = True
         self._queue.put(None)
         self._worker.join(timeout=5)
+        # fail (don't hang) requests still queued behind the sentinel —
+        # a submit() racing stop() would otherwise wait forever
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                return
+            if item is not None:
+                _, _, done, slot = item
+                slot['error'] = RuntimeError('MicroBatcher stopped')
+                done.set()
 
     def _drain(self):
         first = self._queue.get()
@@ -197,23 +229,8 @@ class MicroBatcher:
                                [items[0][0]] * (k_pad - k))
         whwh = np.concatenate([it[1] for it in items] +
                               [items[0][1]] * (k_pad - k))
-        boxes, scores, gazes = self.forward(imgs, whwh, t)
-        # ONE packed device->host readback instead of six: on the
-        # tunnelled bench platform each transfer pays the ~27 ms RTT
-        # (same finding as driver._submit_clips / NOTES round-3 item
-        # 12), which dominated per-request latency before packing.
-        names = sorted(gazes)
-        parts = [boxes, scores] + [gazes[m] for m in names]
-        shapes = [p.shape[1:] for p in parts]
-        n = k_pad * t
-        flat = np.asarray(jnp.concatenate(
-            [jnp.reshape(p, (n, -1)).astype(jnp.float32) for p in parts],
-            axis=-1))
-        offs = np.cumsum([0] + [int(np.prod(s)) for s in shapes])
-        unpacked = [flat[:, offs[i]:offs[i + 1]].reshape((n,) + tuple(s))
-                    for i, s in enumerate(shapes)]
-        boxes, scores = unpacked[0], unpacked[1]
-        gazes = dict(zip(names, unpacked[2:]))
+        boxes, scores, gazes = packed_readback(
+            *self.forward(imgs, whwh, t))
         for i, (_, _, done, slot) in enumerate(items):
             s = slice(i * t, (i + 1) * t)
             slot['result'] = (boxes[s], scores[s],
@@ -244,20 +261,41 @@ class GazeRequestProcessor:
     def close(self):
         self.batcher.stop()
 
-    def warmup(self):
-        """Compile EVERY pow2 micro-batch bucket up to max_batch before
+    def warmup(self, video_path: bool = True):
+        """Compile EVERY micro-batch bucket a request can hit before
         accepting traffic, so no request — including the first concurrent
-        burst — hits a compile stall. Runs on the batcher's forward
-        directly (the worker is idle before the server starts)."""
+        burst — stalls on XLA compile. Runs on the batcher's forward
+        directly (the worker is idle before the server starts).
+
+        Buckets go up to next_pow2(max_batch), not max_batch: _serve pads
+        the drained clip count to a power of two, so a non-pow2
+        max_batch (say 6) still launches the 8-bucket under a full burst.
+        video_path=True additionally warms the long-request flow
+        (> clip_length frames -> VideoGazeEvaluator): one synthetic video
+        per pow2 clip-chunk bucket, compiling the (dedup) video forward +
+        per-video packed readback the evaluator uses."""
         t = self.eval_cfg.clip_length
         h, w = self.eval_cfg.canvas
         dtype = np.uint8 if self.ship_u8 else np.float32
         k = 1
-        while k <= self.cfg.max_batch:
+        while True:
             imgs = np.zeros((k * t, h, w, 3), dtype)
             whwh = np.tile(np.array([w, h, w, h], np.float32), (k * t, 1))
-            boxes, _, _ = self.batcher.forward(imgs, whwh, t)
-            np.asarray(boxes)  # force compile + execute
+            # packed_readback warms the per-bucket packing programs too,
+            # not just the forward — so the clip path compiles nothing
+            packed_readback(*self.batcher.forward(imgs, whwh, t))
+            if k >= self.cfg.max_batch:
+                break
+            k *= 2
+        if not video_path:
+            return
+        stride = self.eval_cfg.stride
+        frame = np.zeros((h, w, 3), np.uint8)
+        k = 1
+        while k <= self.eval_cfg.clip_batch:
+            # F frames -> exactly k clips at the eval stride
+            self.evaluator.run_video([frame] * (stride * (k - 1) + t),
+                                     video_id=-1)
             k *= 2
 
     def _preprocess(self, frames: list):
@@ -328,9 +366,12 @@ class GazeRequestProcessor:
                                   for i in range(len(frames))])
 
     def process_body(self, body: bytes, content_type: str = ''):
+        """Raw image bytes -> flat handler list; JSON {"frames": [...]}
+        -> the clip/video response dict REGARDLESS of frame count, so a
+        JSON client's response shape never depends on how many frames a
+        request happens to carry."""
         frames = parse_request_body(body, content_type)
-        if len(frames) == 1:
-            # one frame (raw bytes or 1-frame JSON): flat handler list
+        if not is_json_body(body, content_type):
             return self._single_frame(frames[0])
         return self.process_frames(frames)
 
@@ -389,6 +430,12 @@ def make_server(processor: GazeRequestProcessor, host: str = '127.0.0.1',
                 result = processor.process_body(
                     body, self.headers.get('Content-Type', ''))
                 self._json(200, result)
+            except (ValueError, KeyError, TypeError) as e:
+                # malformed payload (undecodable image, bad JSON shape,
+                # missing 'frames') is the CLIENT's fault: 400, so
+                # retry-on-5xx clients and load balancers don't treat a
+                # healthy server as down
+                self._json(400, {'error': str(e)})
             except Exception as e:
                 self._json(503, {'error': str(e)})
 

@@ -146,6 +146,62 @@ def test_micro_batcher_surfaces_errors():
         mb.stop()
 
 
+def test_warmup_covers_burst_bucket_and_video_path():
+    """warmup must compile every bucket _serve can launch: the drained
+    clip count is pow2-PADDED, so a non-pow2 max_batch (6) still hits
+    the 8-bucket under a full burst; and the long-request path
+    (VideoGazeEvaluator) has its own per-chunk buckets."""
+    from mcgaze_tpu.evaluation.driver import EvalConfig
+    from mcgaze_tpu.evaluation.serving import (GazeRequestProcessor,
+                                               ServeConfig)
+
+    t, seen_k = 2, []
+
+    def fake_forward(imgs, whwh, tt):
+        seen_k.append(imgs.shape[0] // tt)
+        n = imgs.shape[0]
+        z = np.zeros((n, 3), np.float32)
+        return (np.zeros((n, 3, 4), np.float32), z,
+                {m: z for m in ('fusion', 'face', 'eyes', 'head')})
+
+    eval_cfg = EvalConfig(scale=(16, 16), canvas=(16, 16), clip_length=t,
+                          stride=1, clip_batch=4)
+    proc = GazeRequestProcessor(fake_forward, eval_cfg,
+                                ServeConfig(max_batch=6))
+    try:
+        proc.warmup()
+        # micro-batch buckets first: pow2 up to NEXT pow2 of max_batch,
+        # 8 included; then the video path, one synthetic video per pow2
+        # clip-chunk bucket up to clip_batch (k clips -> k_pad chunk)
+        assert seen_k == [1, 2, 4, 8, 1, 2, 4]
+    finally:
+        proc.close()
+
+
+def test_stopped_batcher_fails_requests_instead_of_hanging():
+    from mcgaze_tpu.evaluation.serving import MicroBatcher
+
+    def fake_forward(imgs, whwh, tt):
+        n = imgs.shape[0]
+        z = np.zeros((n, 3), np.float32)
+        return (np.zeros((n, 3, 4), np.float32), z, {'fusion': z})
+
+    mb = MicroBatcher(fake_forward, clip_length=2, max_batch=2,
+                      timeout_ms=1.0)
+    mb.stop()
+    with pytest.raises(RuntimeError):
+        mb.submit(np.zeros((2, 4, 4, 3), np.float32),
+                  np.ones((2, 4), np.float32))
+    # a request that slipped into the queue around stop() gets failed
+    # by stop()'s drain rather than waiting forever
+    done = threading.Event()
+    slot = {}
+    mb._queue.put((np.zeros((2, 4, 4, 3), np.float32),
+                   np.ones((2, 4), np.float32), done, slot))
+    mb.stop()
+    assert done.is_set() and isinstance(slot['error'], RuntimeError)
+
+
 def test_ship_dtype_follows_forward_capability():
     """A forward that normalizes on-device (accepts_uint8) receives raw
     u8 frames (4x less H2D); a plain-f32 forward receives normalized
@@ -241,10 +297,13 @@ def test_process_body_json_roundtrip(processor):
     flat = processor.process_body(raw, 'application/octet-stream')
     assert [e['class_name'] for e in flat] == \
         ['face', 'eyes', 'head', 'fusion']
-    # a 1-frame JSON clip returns the same flat list as raw bytes
-    also_flat = processor.process_body(
+    # response shape follows the request FORMAT, not the frame count:
+    # a 1-frame JSON clip still gets the clip dict (same numbers as the
+    # raw-bytes path — both pad the single frame to a full clip)
+    one = processor.process_body(
         json.dumps({'frames': [b64]}).encode(), 'application/json')
-    np.testing.assert_allclose(flat[3]['gaze'], also_flat[3]['gaze'],
+    assert len(one['frames']) == 1 and len(one['fusion_gazes']) == 1
+    np.testing.assert_allclose(flat[3]['gaze'], one['frames'][0][3]['gaze'],
                                atol=1e-5)
 
     clip = processor.process_body(
@@ -388,18 +447,23 @@ def test_serve_cli_end_to_end(tmp_path, processor):
     env = dict(os.environ)
     env['JAX_PLATFORMS'] = 'cpu'
     env.pop('XLA_FLAGS', None)
+    # child output goes to a FILE, not PIPE: nobody drains a pipe while
+    # the server runs, and >64 KB of compile-time warnings would block
+    # the child on a stderr write forever
+    log_path = tmp_path / 'server.log'
+    log_f = open(log_path, 'w')
     proc = subprocess.Popen(
         [sys.executable, 'tools/deployment/serve.py', str(cfg_path),
          '--port', str(port), '--model-name', 'tinygaze',
          '--score-thr', '0.0'],
-        cwd=REPO, env=env, stdout=subprocess.PIPE,
-        stderr=subprocess.PIPE, text=True)
+        cwd=REPO, env=env, stdout=log_f, stderr=subprocess.STDOUT)
     try:
         deadline = time.time() + 600
         last_err = None
         while time.time() < deadline:
             if proc.poll() is not None:
-                pytest.fail(f'server died: {proc.stderr.read()[-3000:]}')
+                pytest.fail(
+                    f'server died: {log_path.read_text()[-3000:]}')
             try:
                 status, data = _http('GET', port, '/ping', timeout=5)
                 if status == 200 and data['status'] == 'Healthy':
@@ -468,10 +532,10 @@ def test_serve_cli_end_to_end(tmp_path, processor):
                              'application/octet-stream')
         assert status == 404
 
-        # broken payload -> 503 with an error message, server survives
+        # broken payload is the client's fault -> 400, server survives
         status, data = _http('POST', port, '/predictions/tinygaze',
                              b'garbage', 'application/octet-stream')
-        assert status == 503 and 'error' in data
+        assert status == 400 and 'error' in data
         status, _ = _http('GET', port, '/ping')
         assert status == 200
     finally:
@@ -480,3 +544,4 @@ def test_serve_cli_end_to_end(tmp_path, processor):
             proc.wait(timeout=10)
         except subprocess.TimeoutExpired:
             proc.kill()
+        log_f.close()

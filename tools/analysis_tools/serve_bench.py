@@ -136,8 +136,10 @@ def main():
 
     results = []
     for c in args.concurrency:
-        processor.batcher.batch_sizes.clear()
         do_request()  # shake out per-concurrency first-call effects
+        # clear AFTER the warm call so the solo shake-out launch does
+        # not deflate the measured micro-batch occupancy
+        processor.batcher.batch_sizes.clear()
         lat, wall = run_load(do_request, c, args.requests)
         n = len(lat)
         sizes = processor.batcher.batch_sizes
@@ -145,7 +147,9 @@ def main():
             concurrency=c,
             mode='http' if args.http else 'engine',
             p50_ms=round(statistics.median(lat) * 1e3, 2),
-            p99_ms=round(sorted(lat)[max(0, int(n * 0.99) - 1)] * 1e3, 2),
+            # nearest-rank p99: index ceil(0.99 n) - 1
+            p99_ms=round(sorted(lat)[min(n - 1, max(
+                0, -(-99 * n // 100) - 1))] * 1e3, 2),
             mean_ms=round(statistics.mean(lat) * 1e3, 2),
             requests_per_s=round(n / wall, 2),
             mean_batch_clips=round(statistics.mean(sizes), 2)
