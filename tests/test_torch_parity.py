@@ -205,3 +205,25 @@ def test_bottleneck_matches_torch(stage0_variables):
     # random weights compound magnitudes over 3 convs; conv accumulation
     # order differs between XLA and oneDNN -> relative tolerance
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-3, atol=5e-3)
+
+
+def test_s2d_stem_matches_plain():
+    """The opt-in space-to-depth stem (resnet.py::ResNet.s2d_stem) is an
+    exact regrouping of the 7x7-stride-2 conv: same conv1/kernel param
+    tree, same outputs (up to f32 reassociation)."""
+    from mcgaze_tpu.models.resnet import ResNet
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32))
+    plain = ResNet(26, dtype=jnp.float32)
+    s2d = ResNet(26, dtype=jnp.float32, s2d_stem=True)
+    v = plain.init(jax.random.PRNGKey(0), x)
+    v2 = s2d.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(v) == \
+        jax.tree_util.tree_structure(v2)
+    for a, b in zip(jax.tree_util.tree_leaves(v),
+                    jax.tree_util.tree_leaves(v2)):
+        assert a.shape == b.shape
+    for a, b in zip(plain.apply(v, x), s2d.apply(v, x)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-5)
