@@ -53,7 +53,6 @@ data_test = InstBlinkDataConfig(
     keep_ratio=False,      # test pipeline: exact 640x360 warp
 )
 
-eval_cfg = InstBlinkEvalConfig(clip_length=11, num_classes=1,
-                               max_per_img=10)
+eval_cfg = InstBlinkEvalConfig(clip_length=11, max_per_img=10)
 
 work_dir = './work_dirs/instblink_r50_mpeblink'

@@ -54,7 +54,6 @@ data_test = InstBlinkDataConfig(
     keep_ratio=False,
 )
 
-eval_cfg = InstBlinkEvalConfig(clip_length=5, num_classes=40,
-                               max_per_img=10)
+eval_cfg = InstBlinkEvalConfig(clip_length=5, max_per_img=10)
 
 work_dir = './work_dirs/tevit_msgshift_youtubevis'

@@ -113,6 +113,17 @@ class InstBlinkClipDataset:
         blinks = np.zeros((m, t), np.float32)
         anns = sorted(self.api.anns_of_video(vid_id),
                       key=lambda a: a['id'])
+        if len(anns) > m and not getattr(self, '_warned_truncation',
+                                         False):
+            self._warned_truncation = True
+            import warnings
+            warnings.warn(
+                f'video {vid_id} has {len(anns)} GT tracks but '
+                f'max_instances={m}: the overflow tracks are DROPPED and '
+                f'queries detecting them get supervised as background '
+                f'(the reference trains on all GT). Raise '
+                f'InstBlinkDataConfig.max_instances to cover the '
+                f'densest video.')
         for si, ann in enumerate(anns[:m]):
             valid[si] = True
             labels[si] = self.cat2label[ann['category_id']]

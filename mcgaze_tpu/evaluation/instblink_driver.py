@@ -29,7 +29,7 @@ tiny host numpy, matching where the reference runs it.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Tuple
+from typing import Callable
 
 import numpy as np
 from scipy.optimize import linear_sum_assignment
@@ -41,25 +41,24 @@ from .track_eval import blinks_to_events
 class InstBlinkEvalConfig:
     clip_length: int = 11
     overlap: int = 3
-    scale: Tuple[int, int] = (640, 360)
-    canvas: Tuple[int, int] = (384, 640)
     max_per_img: int = 10
-    num_classes: int = 1
-    score_threshold: float = 0.3     # drop linked tracks below this
+    # The reference protocol keeps ALL max_per_img tracks per video
+    # (result2json emits everything; cocoeval ranks by score and
+    # max_det caps the rest), so dropping tracks here can only deflate
+    # mAP/AR's recall tail. 0.0 = reference-equivalent; raise it only
+    # to slim result files for human inspection.
+    score_threshold: float = 0.0
     blink_threshold: float = 0.5
 
 
 def clip_windows(num_frames: int, clip_len: int, stride: int):
-    """[(start, overlap_with_previous)], last right-aligned."""
-    if num_frames <= clip_len:
-        return [(0, 0)]
-    starts = list(range(0, num_frames - clip_len, stride))
-    out = [(s, 0 if i == 0 else clip_len - stride)
-           for i, s in enumerate(starts)]
-    last = num_frames - clip_len
-    prev = starts[-1]
-    out.append((last, clip_len - (last - prev)))
-    return out
+    """[(start, overlap_with_previous)], last right-aligned — the same
+    windowing as the gaze eval's clip_slices (driver.py:69), minus the
+    length field (short videos shrink the clip instead of padding, so
+    length == clip_len for every window here)."""
+    from .driver import clip_slices
+    return [(s, o) for s, _, o in clip_slices(num_frames, clip_len,
+                                              stride)]
 
 
 def _pairwise_frame_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -154,6 +153,9 @@ class InstBlinkVideoEvaluator:
             prev_boxes = tracks[inv]
             prev_start = start
 
+        # frames no clip window touched emit None boxes below — test the
+        # raw counts BEFORE clamping them for the average division
+        covered = counts > 0
         counts = np.maximum(counts, 1.0)
         boxes_v /= counts[..., None]
         blink_v /= counts
@@ -169,7 +171,7 @@ class InstBlinkVideoEvaluator:
             xywh = []
             for fi in range(f):
                 b = boxes_v[vid_i, fi]
-                if counts[vid_i, fi] == 0 or not np.isfinite(b).all():
+                if not covered[vid_i, fi] or not np.isfinite(b).all():
                     xywh.append(None)
                 else:
                     xywh.append([float(b[0]), float(b[1]),

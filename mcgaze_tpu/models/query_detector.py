@@ -69,6 +69,14 @@ class QueryDetectorConfig:
     strides: Tuple[int, ...] = (4, 8, 16, 32)
     finest_scale: float = 56.0
     with_blink: bool = True              # InstBlink; False -> TeViT boxes
+    # The fork's shipped blink tower is an unchained loop
+    # (blink_head.py:103-104): every layer re-applies to the raw input,
+    # so the torch model actually computes fc_blink(ReLU(x)) with the
+    # Dense/LN tower weights DEAD. Default False = the evident intent
+    # (a chained 2x(Dense-LN-ReLU) tower); set True to reproduce a
+    # reference-trained checkpoint's exact blink scores (the tower
+    # params stay declared, so checkpoints interchange either way).
+    blink_reference_semantics: bool = False
     max_per_img: int = 10                # test_cfg.max_per_img
     dtype: str = 'float32'
     roi_impl: str = 'auto'
@@ -163,15 +171,22 @@ class GenericSTQIHead(nn.Module):
 
 class BlinkHead(nn.Module):
     """Per-query blink logit: 2x(Dense-LN-ReLU) + fc (blink_head.py:59-64;
-    see module docstring for the unchained-loop quirk we fix)."""
+    see module docstring for the unchained-loop quirk we fix).
+    reference_semantics=True reproduces the fork's shipped computation
+    fc_blink(ReLU(x)) exactly (the tower is declared but dead, as in the
+    torch checkpoint) — required for score parity with reference-trained
+    .pth weights."""
     channels: int = 256
     dtype: jnp.dtype = jnp.float32
+    reference_semantics: bool = False
 
     @nn.compact
     def __call__(self, obj_feat):
         """obj_feat (..., C) -> blink logits (...,)."""
         x = MLPTower(self.channels, 2, dtype=self.dtype,
                      name='blink_tower')(obj_feat)
+        if self.reference_semantics:
+            x = nn.relu(obj_feat)  # tower output unused (XLA DCEs it)
         return nn.Dense(1, dtype=self.dtype,
                         name='fc_blink')(x)[..., 0]
 
@@ -215,7 +230,8 @@ class QueryDetector(nn.Module):
             for _ in range(cfg.num_stages))
         if cfg.with_blink:
             self.blink_head = tuple(
-                BlinkHead(cfg.channels, dtype=dtype)
+                BlinkHead(cfg.channels, dtype=dtype,
+                          reference_semantics=cfg.blink_reference_semantics)
                 for _ in range(cfg.num_stages))
 
     def extract_features(self, imgs: jnp.ndarray,

@@ -88,9 +88,7 @@ def _translate_legacy(ns: dict) -> QueryConfig:
     return QueryConfig(
         model=model, optim=OptimConfig(max_iters=12000, lr_steps=(8000,)),
         data_train=dtr, data_test=dte,
-        eval_cfg=InstBlinkEvalConfig(clip_length=dte.clip_length,
-                                     scale=dte.scale, canvas=dte.canvas,
-                                     num_classes=num_classes),
+        eval_cfg=InstBlinkEvalConfig(clip_length=dte.clip_length),
         work_dir=ns.get('work_dir', './work_dirs/instblink'))
 
 

@@ -295,6 +295,17 @@ def convert_query_checkpoint_dict(sd: dict, num_stages: int = 6,
                         for i in range(2)], sd)
             _linear(params, f'{jg}/fc_blink', f'{tg}.fc_blink', sd)
 
+    if with_blink:
+        import warnings
+        warnings.warn(
+            "reference InstBlink checkpoints computed fc_blink(ReLU(x)) "
+            "— the blink_fcs tower is DEAD in the fork's forward "
+            "(blink_head.py:103-104). The tower weights are mapped "
+            "anyway; to reproduce such a checkpoint's exact blink "
+            "scores set model.blink_reference_semantics=true "
+            "(QueryDetectorConfig). Checkpoints trained by THIS repo "
+            "use the chained tower and need the default (False).")
+
     return dict(params=params, stats=stats)
 
 

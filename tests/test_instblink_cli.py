@@ -40,8 +40,7 @@ data_test = InstBlinkDataConfig(
     clip_length=3, scale=(64, 48), canvas=(64, 64), max_instances=3,
     flip_ratio=0.0, keep_ratio=False)
 eval_cfg = InstBlinkEvalConfig(clip_length=3, overlap=1, max_per_img=4,
-                               num_classes=1, score_threshold=0.0,
-                               scale=(64, 48), canvas=(64, 64))
+                               score_threshold=0.0)
 work_dir = '{root}/work'
 """
 

@@ -170,7 +170,7 @@ def test_driver_links_tracks_across_clips():
 
     forward.calls = 0
     cfg = InstBlinkEvalConfig(clip_length=t, overlap=3, max_per_img=k,
-                              num_classes=1, score_threshold=0.0)
+                              score_threshold=0.0)
     ev = InstBlinkVideoEvaluator(forward, cfg)
     whwh = np.tile(np.asarray([[100., 100., 100., 100.]], np.float32),
                    (f, 1))

@@ -155,3 +155,33 @@ def test_blink_head_matches_torch(query_variables, stage):
         jnp.asarray(obj))
     np.testing.assert_allclose(np.asarray(out), ref.detach().numpy(),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize('stage', [0])
+def test_blink_head_reference_semantics_matches_shipped_torch(
+        query_variables, stage):
+    """The fork's SHIPPED blink forward is an unchained loop
+    (blink_head.py:103-104): every layer re-applies to the raw input, so
+    the torch model computes fc_blink(ReLU(x)) with the tower weights
+    dead. BlinkHead(reference_semantics=True) reproduces that exactly —
+    the setting reference-trained checkpoints need."""
+    sd, variables = query_variables
+    rng = np.random.RandomState(7 + stage)
+    obj = rng.randn(N, Q, C).astype(np.float32)
+
+    # the literal reference loop: blink_feat ends as ReLU(raw input)
+    tg = f'roi_head.mask_head.{stage}'
+    x = torch.relu(torch.from_numpy(obj))
+    ref = torch_linear(sd, f'{tg}.fc_blink', x)[..., 0]
+
+    out = BlinkHead(C, reference_semantics=True).apply(
+        {'params': variables['params'][f'blink_head_{stage}']},
+        jnp.asarray(obj))
+    np.testing.assert_allclose(np.asarray(out), ref.detach().numpy(),
+                               rtol=2e-5, atol=2e-5)
+    # and it differs from the chained-intent tower (the weights are
+    # random, so agreement would mean the flag is not wired)
+    chained = BlinkHead(C).apply(
+        {'params': variables['params'][f'blink_head_{stage}']},
+        jnp.asarray(obj))
+    assert np.abs(np.asarray(out) - np.asarray(chained)).max() > 1e-4

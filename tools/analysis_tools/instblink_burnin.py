@@ -61,8 +61,7 @@ data_test = InstBlinkDataConfig(
     clip_length=5, scale=(128, 96), canvas=(96, 128), max_instances=2,
     flip_ratio=0.0, keep_ratio=False)
 eval_cfg = InstBlinkEvalConfig(clip_length=5, overlap=2, max_per_img=4,
-                               num_classes=1, score_threshold=0.05,
-                               scale=(128, 96), canvas=(96, 128))
+                               score_threshold=0.05)
 work_dir = '{root}/work'
 checkpoint_interval = {ckpt_every}
 log_interval = 50
