@@ -44,25 +44,6 @@ from flax import linen as nn
 LN_EPS_PVT = 1e-6
 
 
-class _PackedInProj(nn.Module):
-    """Packed (E, 3E) in-proj declared as ONE 'kernel'/'bias' pair (the
-    same param tree nn.Dense(3E) produces, so torch in_proj imports and
-    existing checkpoints are untouched), applied per q/k/v column slice
-    so each input only pays its own third of the GEMM."""
-    embed: int
-    dtype: jnp.dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x, lo: int, hi: int):
-        kernel = self.param('kernel', nn.initializers.lecun_normal(),
-                            (self.embed, 3 * self.embed))
-        bias = self.param('bias', nn.initializers.zeros,
-                          (3 * self.embed,))
-        return (x.astype(self.dtype) @
-                kernel[:, lo:hi].astype(self.dtype) +
-                bias[lo:hi].astype(self.dtype))
-
-
 class CrossMHA(nn.Module):
     """torch.nn.MultiheadAttention with distinct query / key-value inputs
     and packed in_proj layout (kernel (E, 3E) = torch in_proj_weight.T),
@@ -75,16 +56,17 @@ class CrossMHA(nn.Module):
     def __call__(self, q_in, kv_in):
         e, h = self.embed, self.heads
         hd = e // h
-        # one packed (E, 3E) param (torch in_proj import layout), but
-        # SLICED per path before the GEMMs: q_in is the full spatial
-        # token sequence (the longest tensor in the backbone), so
-        # computing its packed 3E projection and discarding k/v — and
-        # kv_in's unused q third — would waste ~3x the projection FLOPs
-        # XLA does not reliably narrow out of a sliced dot
-        qkv = _PackedInProj(e, dtype=self.dtype, name='qkv')
-        q = qkv(q_in, 0, e)
-        k = qkv(kv_in, e, 2 * e)
-        v = qkv(kv_in, 2 * e, 3 * e)
+        # Packed (E, 3E) in-proj, full GEMM on both inputs then sliced.
+        # MEASURED: slicing the kernel per path instead (q pays only its
+        # E-wide third — "don't compute 3E and discard 2/3") is SLOWER
+        # on the v5e-1: whole MsgShifT fwd 11x384x640 bf16 = 30.0 ms
+        # full-3E vs 31.6 ms sliced-q + packed-kv (31.7 fully split) —
+        # the 3E-wide GEMM tiles the MXU lanes better than three E-wide
+        # ones, so the "wasted" columns are free. Keep the packed form.
+        qkv = nn.Dense(3 * e, dtype=self.dtype, name='qkv')
+        q = qkv(q_in)[..., :e]
+        kv = qkv(kv_in)
+        k, v = kv[..., e:2 * e], kv[..., 2 * e:]
 
         def split(t):
             b, s = t.shape[0], t.shape[1]
