@@ -141,3 +141,15 @@ def test_convert_cli_end_to_end(tmp_path):
     # annotation ids sequential from 1
     assert [a['id'] for a in js['annotations']] == list(
         range(1, 3 * len(subjects) + 1))
+
+    # the 3-track layout feeds the training dataset: all three clue
+    # slots (face/eyes/head) come out valid, like the l2cs-style JSONs
+    from mcgaze_tpu.data.dataset import DataConfig, Gaze360ClipDataset
+    ds = Gaze360ClipDataset(DataConfig(
+        ann_file=osp.join(out, 'annotations', 'test1.json'),
+        img_prefix=out, clip_length=3, crop_size=None, batch_size=2,
+        scale=(112, 112), canvas=(112, 112)))
+    assert len(ds) == len(subjects) * kept
+    clip = ds.get_clip(0)
+    assert clip['gt_valid'].shape[-1] == 3 and clip['gt_valid'].all()
+    assert np.isfinite(clip['imgs']).all()
