@@ -97,6 +97,17 @@ def test_train_then_eval_chain(tmp_path):
               f'{tmp_path}/results.json', '--eval'], cwd=tmp_path)
     assert r.returncode == 0, r.stderr[-2000:]
     assert 'track mAP' in r.stdout and 'blink action AP' in r.stdout
+    inline_scores = [ln for ln in r.stdout.splitlines()
+                     if 'track mAP' in ln or 'blink action' in ln]
+
+    # offline re-score of the saved results: no checkpoint, same APs
+    r2 = _run([f'{REPO}/tools/test_instblink.py', str(cfg),
+               '--eval-only', f'{tmp_path}/results.json'], cwd=tmp_path)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    offline_scores = [ln for ln in r2.stdout.splitlines()
+                      if 'track mAP' in ln or 'blink action' in ln]
+    assert offline_scores == inline_scores
+
     results = json.loads((tmp_path / 'results.json').read_text())
     assert results, 'no tracks emitted'
     for tr in results:

@@ -8,7 +8,9 @@ track linking (evaluation/instblink_driver.py); --eval scores the
 results with the MPEblink track AP + blink action AP
 (evaluation/track_eval.py, the rebuild of the reference's
 mmdet/datasets/mpeblink_eval_api.py) or, for with_blink=False configs
-(TeViT), ytvis track AP only.
+(TeViT), ytvis track AP only. `--eval-only saved.json` re-scores a
+previously written results file with no checkpoint or chip (the
+reference's tools/analysis_tools/eval_metric.py pattern).
 """
 import argparse
 import json
@@ -20,12 +22,19 @@ import numpy as np
 def parse_args():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument('config')
-    p.add_argument('checkpoint')
+    p.add_argument('checkpoint', nargs='?', default=None)
     p.add_argument('--out', default=None, help='results JSON path')
     p.add_argument('--eval', action='store_true',
                    help='score tracks (+blinks) against the ann_file GT')
+    p.add_argument('--eval-only', default=None, metavar='RESULTS_JSON',
+                   help='skip inference and re-score a saved results '
+                        'JSON against the ann_file GT (the reference '
+                        'tools/analysis_tools/eval_metric.py pattern)')
     p.add_argument('--max-videos', type=int, default=0)
-    return p.parse_args()
+    args = p.parse_args()
+    if args.eval_only is None and args.checkpoint is None:
+        p.error('checkpoint is required unless --eval-only is given')
+    return args
 
 
 def gt_tracks_from_api(api, with_blinks):
@@ -41,19 +50,55 @@ def gt_tracks_from_api(api, with_blinks):
     return gt_by_vid_cat, blink_events
 
 
+def score_results(results, api, with_blinks):
+    """Score a results list against the annotation GT and print APs."""
+    from mcgaze_tpu.evaluation.track_eval import (evaluate_tracks,
+                                                  mpeblink_blink_ap)
+    gt_by_vid_cat, gt_blinks = gt_tracks_from_api(api, with_blinks)
+    dt_by_vid_cat, dt_blinks = {}, {}
+    for di, r in enumerate(results):
+        key = (r['video_id'], r['category_id'])
+        dt_by_vid_cat.setdefault(key, []).append(
+            dict(id=di + 1, score=r['score'], track=r['bboxes']))
+        dt_blinks[di + 1] = [tuple(e) for e in
+                             r.get('blinks_converted', [])]
+    if with_blinks and gt_blinks:
+        res = mpeblink_blink_ap(gt_by_vid_cat, dt_by_vid_cat,
+                                gt_blinks, dt_blinks)
+        tr = res['track']
+        print(f"track mAP {tr['mAP']:.4f}  AP50 {tr['AP50']:.4f}  "
+              f"AP75 {tr['AP75']:.4f}  AR {tr['AR']:.4f}")
+        blink_at_50 = res[0.5]
+        print(f'blink action AP@[tIoU .5:.95] (inst IoU .5): '
+              f'{blink_at_50.mean():.4f}  '
+              f'AP@.5 {blink_at_50[0]:.4f}')
+    else:
+        tr = evaluate_tracks(gt_by_vid_cat, dt_by_vid_cat)
+        print(f"track mAP {tr['mAP']:.4f}  AP50 {tr['AP50']:.4f}  "
+              f"AP75 {tr['AP75']:.4f}  AR {tr['AR']:.4f}")
+
+
 def main():
     args = parse_args()
     from mcgaze_tpu.utils.env import setup_jax_platform
     setup_jax_platform()
+
+    if args.eval_only:
+        from mcgaze_tpu.data.coco_vid import CocoVid
+        from mcgaze_tpu.utils.query_config import load_query_config
+        cfg = load_query_config(args.config)
+        with open(args.eval_only) as f:
+            results = json.load(f)
+        score_results(results, CocoVid(cfg.data_test.ann_file),
+                      cfg.data_test.with_blinks)
+        return 0
+
     import jax
     import jax.numpy as jnp
 
-    from mcgaze_tpu.data.coco_vid import CocoVid
     from mcgaze_tpu.data.instblink_dataset import InstBlinkClipDataset
     from mcgaze_tpu.evaluation.instblink_driver import (
         InstBlinkVideoEvaluator)
-    from mcgaze_tpu.evaluation.track_eval import (evaluate_tracks,
-                                                  mpeblink_blink_ap)
     from mcgaze_tpu.models.query_detector import (QueryDetector,
                                                   init_query_model,
                                                   topk_tracks)
@@ -119,29 +164,7 @@ def main():
     print(f'wrote {out_path} ({len(results)} tracks)')
 
     if args.eval:
-        gt_by_vid_cat, gt_blinks = gt_tracks_from_api(
-            ds.api, cfg.data_test.with_blinks)
-        dt_by_vid_cat, dt_blinks = {}, {}
-        for di, r in enumerate(results):
-            key = (r['video_id'], r['category_id'])
-            dt_by_vid_cat.setdefault(key, []).append(
-                dict(id=di + 1, score=r['score'], track=r['bboxes']))
-            dt_blinks[di + 1] = [tuple(e) for e in
-                                 r.get('blinks_converted', [])]
-        if cfg.data_test.with_blinks and gt_blinks:
-            res = mpeblink_blink_ap(gt_by_vid_cat, dt_by_vid_cat,
-                                    gt_blinks, dt_blinks)
-            tr = res['track']
-            print(f"track mAP {tr['mAP']:.4f}  AP50 {tr['AP50']:.4f}  "
-                  f"AP75 {tr['AP75']:.4f}  AR {tr['AR']:.4f}")
-            blink_at_50 = res[0.5]
-            print(f'blink action AP@[tIoU .5:.95] (inst IoU .5): '
-                  f'{blink_at_50.mean():.4f}  '
-                  f'AP@.5 {blink_at_50[0]:.4f}')
-        else:
-            tr = evaluate_tracks(gt_by_vid_cat, dt_by_vid_cat)
-            print(f"track mAP {tr['mAP']:.4f}  AP50 {tr['AP50']:.4f}  "
-                  f"AP75 {tr['AP75']:.4f}  AR {tr['AR']:.4f}")
+        score_results(results, ds.api, cfg.data_test.with_blinks)
     return 0
 
 
