@@ -19,14 +19,17 @@ def small_vars():
     x = jnp.zeros((2, 64, 96, 3), jnp.float32)
     v = jax.jit(m.init, static_argnames='clip_length')(
         jax.random.PRNGKey(0), x, clip_length=1)
-    return m, v
+    # jitted apply: ONE cached XLA program per input shape instead of
+    # hundreds of eager op-by-op dispatch compiles (was ~25s/test)
+    fwd = jax.jit(m.apply, static_argnames='clip_length')
+    return m, v, fwd
 
 
 def test_pyramid_shapes_and_channels(small_vars):
-    m, v = small_vars
+    m, v, fwd = small_vars
     x = jnp.asarray(np.random.RandomState(0).randn(2, 64, 96, 3),
                     jnp.float32)
-    outs = m.apply(v, x, clip_length=1)
+    outs = fwd(v, x, clip_length=1)
     assert [o.shape for o in outs] == [
         (2, 16, 24, 64), (2, 8, 12, 128), (2, 4, 6, 320), (2, 2, 3, 512)]
     assert all(bool(jnp.isfinite(o).all()) for o in outs)
@@ -73,13 +76,13 @@ def test_messengers_carry_cross_frame_information(small_vars):
     """Perturbing frame 0 must change frame 1's features (the messenger
     shift is the only cross-frame path) — and must NOT leak across clips
     in the same batch."""
-    m, v = small_vars
+    m, v, fwd = small_vars
     rng = np.random.RandomState(0)
     base = rng.randn(4, 64, 96, 3).astype(np.float32)  # B=2 clips, T=2
     pert = base.copy()
     pert[0] += 1.0                                     # clip 0, frame 0
-    out_a = m.apply(v, jnp.asarray(base), clip_length=2)
-    out_b = m.apply(v, jnp.asarray(pert), clip_length=2)
+    out_a = fwd(v, jnp.asarray(base), clip_length=2)
+    out_b = fwd(v, jnp.asarray(pert), clip_length=2)
     d = np.abs(np.asarray(out_a[-1]) - np.asarray(out_b[-1]))
     assert d[0].max() > 0          # the perturbed frame itself
     assert d[1].max() > 1e-6       # same clip, other frame: via messengers
@@ -90,10 +93,10 @@ def test_messengers_carry_cross_frame_information(small_vars):
 def test_clip_length_one_is_frame_independent(small_vars):
     """With T=1 every roll is identity: two frames processed as separate
     clips equal the same frames processed batched."""
-    m, v = small_vars
+    m, v, fwd = small_vars
     rng = np.random.RandomState(1)
     x = rng.randn(2, 64, 96, 3).astype(np.float32)
-    both = m.apply(v, jnp.asarray(x), clip_length=1)
-    one = m.apply(v, jnp.asarray(x[:1]), clip_length=1)
+    both = fwd(v, jnp.asarray(x), clip_length=1)
+    one = fwd(v, jnp.asarray(x[:1]), clip_length=1)
     np.testing.assert_allclose(np.asarray(both[-1][:1]),
                                np.asarray(one[-1]), rtol=2e-5, atol=2e-5)

@@ -102,10 +102,14 @@ def test_loss_keys_and_finiteness(tiny_model):
     model, variables = tiny_model
     cfg = TINY
     batch = _batch(2, cfg)
-    out = model.apply(variables, batch['imgs'], batch['whwh'],
-                      clip_length=cfg.clip_length)
-    loss, logs = query_criterion.total_loss(cfg, out, batch,
-                                            cfg.clip_length)
+    @jax.jit
+    def fwd_loss(variables, batch):
+        out = model.apply(variables, batch['imgs'], batch['whwh'],
+                          clip_length=cfg.clip_length)
+        return query_criterion.total_loss(cfg, out, batch,
+                                          cfg.clip_length)
+
+    loss, logs = fwd_loss(variables, batch)
     for i in range(cfg.num_stages):
         for key in ('loss_cls', 'loss_bbox', 'loss_iou', 'loss_blink'):
             assert f'stage{i}_{key}' in logs
@@ -125,7 +129,8 @@ def test_no_blink_config_drops_blink_loss():
     t, m = cfg.clip_length, cfg.max_instances
     imgs = jnp.asarray(rng.randn(t, 32, 32, 3), jnp.float32)
     whwh = jnp.tile(jnp.asarray([[32., 32., 32., 32.]]), (t, 1))
-    out = model.apply(variables, imgs, whwh, clip_length=t)
+    out = jax.jit(model.apply, static_argnames='clip_length')(
+        variables, imgs, whwh, clip_length=t)
     assert 'blink_logits' not in out['stages'][0]
     batch = dict(whwh=whwh,
                  gt_boxes=jnp.asarray(rng.rand(1, m, t, 4) * 10 + 5,
@@ -133,7 +138,8 @@ def test_no_blink_config_drops_blink_loss():
                  gt_labels=jnp.zeros((1, m), jnp.int32),
                  gt_present=jnp.ones((1, m, t), bool),
                  inst_valid=jnp.ones((1, m), bool))
-    _loss, logs = query_criterion.total_loss(cfg, out, batch, t)
+    _loss, logs = jax.jit(
+        lambda o, b: query_criterion.total_loss(cfg, o, b, t))(out, batch)
     assert not any('blink' in k for k in logs)
 
 

@@ -41,7 +41,24 @@ def test_commands_parse_against_real_clis():
     """Each `python tools/...` command: the script exists, every --flag it
     uses is accepted by the script's argparse, and repo-relative
     positional paths (configs/...) exist."""
+    # spawn every distinct script's --help concurrently: each pays a
+    # full interpreter+jax import, and overlapping them hides the I/O
+    # share even on one core
+    scripts = []
+    for cmd in fenced_commands():
+        argv = shlex.split(cmd)
+        if argv[0] == 'python' and argv[1] not in scripts:
+            scripts.append(argv[1])
+    procs = {
+        s: subprocess.Popen([sys.executable, osp.join(REPO, s), '--help'],
+                            stdout=subprocess.PIPE,
+                            stderr=subprocess.PIPE, text=True, cwd=REPO)
+        for s in scripts if osp.exists(osp.join(REPO, s))}
     help_cache = {}
+    for s, p in procs.items():
+        out, err = p.communicate(timeout=180)
+        assert p.returncode == 0, (s, err)
+        help_cache[s] = out
     for cmd in fenced_commands():
         argv = shlex.split(cmd)
         if argv[0] == 'bash':
@@ -50,12 +67,6 @@ def test_commands_parse_against_real_clis():
         assert argv[0] == 'python', cmd
         script = argv[1]
         assert osp.exists(osp.join(REPO, script)), cmd
-        if script not in help_cache:
-            r = subprocess.run([sys.executable, osp.join(REPO, script),
-                                '--help'], capture_output=True, text=True,
-                               cwd=REPO, timeout=120)
-            assert r.returncode == 0, (script, r.stderr)
-            help_cache[script] = r.stdout
         for tok in argv[2:]:
             if tok.startswith('--'):
                 flag = tok.split('=')[0]

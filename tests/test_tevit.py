@@ -33,7 +33,8 @@ def test_tevit_msgshift_forward_shapes():
     imgs = jnp.asarray(np.random.RandomState(0).randn(2 * t, 64, 64, 3),
                        jnp.float32)
     whwh = jnp.tile(jnp.asarray([[64., 64., 64., 64.]]), (2 * t, 1))
-    out = model.apply(variables, imgs, whwh, clip_length=t)
+    out = jax.jit(model.apply, static_argnames='clip_length')(
+        variables, imgs, whwh, clip_length=t)
     assert len(out['stages']) == 2
     s = out['stages'][-1]
     assert s['cls_logits'].shape == (2 * t, 8, 5)

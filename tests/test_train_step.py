@@ -154,10 +154,15 @@ def _sharded_equivalence(meshes, b):
             p1, pm)
 
 
+@pytest.mark.slow
 def test_sharded_step_matches_unsharded():
-    """Fast-suite variant: the 4x2 mesh exercises BOTH the data axis and
-    every TP rule; batch 4 (dp=4) keeps the three step executions cheap
-    on the 1-core virtual-device box."""
+    """4x2 mesh: exercises BOTH the data axis and every TP rule. Slow
+    suite: ~2 min on the 1-core box, almost all of it virtual-device
+    barrier spin (measured 47s user / 84s sys for 128s wall — 8 CPU
+    'devices' time-slicing one core). The sharded==unsharded claim stays
+    continuously covered by __graft_entry__.dryrun_multichip, which the
+    bench driver executes every round and which asserts the same
+    loss-equality on the 8-device mesh."""
     _sharded_equivalence([make_mesh(n_data=4, n_model=2)], b=4)
 
 
