@@ -226,3 +226,115 @@ def test_reorganizer_matches_reference_script(tmp_path):
                 assert a.shape == b.shape, (setting, split, rel)
                 np.testing.assert_array_equal(a, b,
                                               err_msg=f'{setting}/{split}/{rel}')
+
+
+# ---------------------------------------------------------------------------
+# Results-schema handshake: the REFERENCE scorers consume a results JSON
+# written by THIS repo's driver CLI (tools/test_gaze360_gaze.py, random
+# init, fabricated videos) — covering the real file-level contract (None
+# boxes, list nesting, per-video dict layout, the l2cs anno_id*3 row
+# convention) end-to-end, not just hand-built result dicts.
+# ---------------------------------------------------------------------------
+
+def _driver_workspace(tmp_path):
+    import textwrap
+
+    from tests.test_data_and_driver import make_dataset
+
+    root = str(tmp_path)
+    ann, prefix = make_dataset(root, num_videos=2, length=12,
+                               head_only_frames=(3,))
+    # append a single-clip video (length == clip_length) for the
+    # no-overlap stitching branch
+    data = json.load(open(ann))
+    names = []
+    rng = np.random.RandomState(9)
+    for f in range(7):
+        name = f'099/{f:05d}.png'
+        import cv2
+        p = osp.join(prefix, name)
+        os.makedirs(osp.dirname(p), exist_ok=True)
+        cv2.imwrite(p, rng.randint(0, 255, (32, 32, 3), np.uint8))
+        names.append(name)
+    data['videos'].append(dict(id=99, width=32, height=32, length=7,
+                               file_names=names))
+    gaze = unit_rows(rng, 7).tolist()
+    for clue_boxes in ([[20, 10, 20, 14]], [[22, 14, 16, 5]],
+                       [[14, 4, 32, 30]]):
+        data['annotations'].append(dict(
+            id=len(data['annotations']) + 1, video_id=99, category_id=1,
+            bboxes=clue_boxes * 7, gaze=gaze))
+    # l2cs-style file: three (face, eyes, head) tracks per video, the
+    # anno_id*3 row convention of calculate_mae_l2cs.py:110
+    ann_l2cs = osp.join(root, 'test_l2cs.json')
+    json.dump(data, open(ann_l2cs, 'w'))
+    # gaze360-style file: ONE annotation per eval video (the converter's
+    # output layout, generate_json_from_ori.py:27-60, indexed directly
+    # by calculate_mae_gaze360.py:121)
+    by_vid = {}
+    for a in data['annotations']:
+        by_vid.setdefault(a['video_id'], a)
+    g360 = dict(data)
+    g360['annotations'] = [
+        dict(a, id=i + 1)
+        for i, a in enumerate(by_vid[v['id']] for v in data['videos'])]
+    json.dump(g360, open(ann, 'w'))
+
+    cfg_path = osp.join(root, 'tiny_cfg.py')
+    with open(cfg_path, 'w') as f:
+        f.write(textwrap.dedent(f"""
+            from mcgaze_tpu.data.dataset import DataConfig
+            from mcgaze_tpu.evaluation.driver import EvalConfig
+            from mcgaze_tpu.models.mcgaze import ModelConfig
+
+            model = ModelConfig(clip_length=7, backbone_depth=26,
+                                num_stages=2, stage_loss_weights=(1.0, 1.0),
+                                ffn_channels=256)
+            data_test = DataConfig(ann_file={ann!r}, img_prefix={prefix!r},
+                                   scale=(32, 32), canvas=(32, 32))
+            eval_cfg = EvalConfig(scale=(32, 32), canvas=(32, 32),
+                                  clip_batch=2)
+        """))
+    return ann, ann_l2cs, prefix, cfg_path
+
+
+def test_reference_scorers_consume_driver_results(tmp_path):
+    ann, ann_l2cs, prefix, cfg = _driver_workspace(tmp_path)
+    out_dir = str(tmp_path / 'results')
+    run_cli([osp.join(REPO, 'tools/test_gaze360_gaze.py'), cfg,
+             '--json', ann, '--root', prefix, '--out-dir', out_dir])
+    res_files = os.listdir(out_dir)
+    assert len(res_files) == 1
+    res = osp.join(out_dir, res_files[0])
+
+    # gaze360 scorer: reference vs ours on the driver-written file
+    ref = metric_lines(run_cli(
+        [osp.join(REF, 'tools/calculate_mae_gaze360.py'),
+         '--evalfile', res, '--anno', ann]))
+    ours = metric_lines(run_cli(
+        [osp.join(REPO, 'tools/calculate_mae_gaze360.py'),
+         '--evalfile', res, '--anno', ann]))
+    assert ours == ref
+
+    # l2cs scorer: GT row anno_id*3 — make_dataset emits (face, eyes,
+    # head) tracks per video in order, so row v*3 is video v's track
+    ref = metric_lines(run_cli(
+        [osp.join(REF, 'tools/calculate_mae_l2cs.py'),
+         '--evalfile', res, '--anno', ann_l2cs]))
+    ours = metric_lines(run_cli(
+        [osp.join(REPO, 'tools/calculate_mae_l2cs.py'),
+         '--evalfile', res, '--anno', ann_l2cs]))
+    assert ours == ref
+
+    # schema spot-checks on the driver-written file itself
+    results = json.load(open(res))
+    assert [r['video_id'] for r in results] == [1, 2, 99]
+    r0 = results[0]
+    for key in ('fusion_gazes', 'face_bboxes', 'eyes_bboxes',
+                'head_bboxes', 'face_gazes', 'eyes_gazes', 'head_gazes',
+                'face_score', 'eyes_score', 'head_score'):
+        assert key in r0, key
+    assert len(r0['fusion_gazes']) == 12
+    # boxes are xywh lists or None (score<0.5 zeroing), never arrays
+    for b in r0['face_bboxes']:
+        assert b is None or (isinstance(b, list) and len(b) == 4)
