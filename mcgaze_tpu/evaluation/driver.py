@@ -298,7 +298,7 @@ class VideoGazeEvaluator:
         return self._run_preprocessed(imgs, whwh, sfs, f, video_id)
 
     def run_videos_from_paths(self, videos, prefetch: int = 4,
-                              device_put: bool = True):
+                              device_put: bool = True, devices=None):
         """Pipelined eval over (video_id, paths) pairs: a background
         thread decodes videos N+1..N+prefetch through the C++ pool AND
         ships each video's frames to device memory while video N's clips
@@ -319,10 +319,26 @@ class VideoGazeEvaluator:
         several decoded videos in flight keeps the transfer stream fed
         behind compute: at 448 px (8x60-frame videos) prefetch 2 -> 4
         measured 64.8 -> 86 frames/s; 6/8 plateau (85.1/82.9). Cost is
-        prefetch x one video of u8 frames in host+device memory."""
+        prefetch x one video of u8 frames in host+device memory.
+
+        Multi-device: videos round-robin over `devices` (default
+        jax.local_devices()) — the single-process analogue of the
+        reference's one-process-per-GPU eval (apis/test.py:81-135). Each
+        video's frames are committed to its device, its clip forwards run
+        there (bind_forward keeps a resident params copy per device), and
+        up to len(devices) videos stay in flight so all local chips
+        compute concurrently; readback forces only the oldest video's
+        device. Results still yield in input order. With one device this
+        reduces exactly to the round-3 submit-then-force path."""
         from ..data.prefetch import BatchPrefetcher
 
-        def produce(vid, paths):
+        if device_put:
+            import jax
+            if devices is None:
+                devices = jax.local_devices()
+        n_dev = len(devices) if (device_put and devices) else 1
+
+        def produce(i, vid, paths):
             import time
             t0 = time.perf_counter()
             imgs, whwh, sfs, f = self._decode_video(paths, vid)
@@ -330,17 +346,32 @@ class VideoGazeEvaluator:
             if device_put:
                 import jax
                 t0 = time.perf_counter()
-                imgs = jax.device_put(imgs)     # async H2D, whole video
-                whwh = jax.device_put(whwh)
+                dev = devices[i % n_dev]
+                imgs = jax.device_put(imgs, dev)  # async H2D, whole video
+                whwh = jax.device_put(whwh, dev)
                 self._phase('device_put', t0)
             return vid, (imgs, whwh, sfs, f)
 
         decoded = BatchPrefetcher(
-            (produce(vid, paths) for vid, paths in videos),
-            prefetch=prefetch)
+            (produce(i, vid, paths)
+             for i, (vid, paths) in enumerate(videos)),
+            prefetch=max(prefetch, n_dev))
         try:
+            if n_dev == 1:
+                for vid, (imgs, whwh, sfs, f) in decoded:
+                    yield self._run_preprocessed(imgs, whwh, sfs, f, vid)
+                return
+            from collections import deque
+            inflight = deque()
             for vid, (imgs, whwh, sfs, f) in decoded:
-                yield self._run_preprocessed(imgs, whwh, sfs, f, vid)
+                inflight.append(
+                    (vid, sfs, f, self._submit_video(imgs, whwh, f)))
+                if len(inflight) >= n_dev:
+                    vid0, sfs0, f0, sub = inflight.popleft()
+                    yield self._finish_video(sub, sfs0, f0, vid0)
+            while inflight:
+                vid0, sfs0, f0, sub = inflight.popleft()
+                yield self._finish_video(sub, sfs0, f0, vid0)
         finally:
             decoded.close()
 
@@ -358,19 +389,31 @@ class VideoGazeEvaluator:
         return self._run_preprocessed(imgs, whwh, sfs, f, video_id)
 
     def _run_preprocessed(self, imgs, whwh, sfs, f, video_id) -> dict:
+        return self._finish_video(self._submit_video(imgs, whwh, f),
+                                  sfs, f, video_id)
+
+    def _submit_video(self, imgs, whwh, f):
+        """Dispatch every chunk of one video (async, no device sync).
+        Returns the pending state _finish_video consumes — the split lets
+        run_videos_from_paths keep one video in flight PER local device."""
         import time
         cfg = self.cfg
         slices = clip_slices(f, cfg.clip_length, cfg.stride)
         length = slices[0][1]
-
         # batched forward over all clips of the video: submit every chunk
-        # (async dispatch), then force — one device sync per video
+        # (async dispatch); the force happens in _finish_video — one
+        # device sync per video
         starts = [s[0] for s in slices]
         t0 = time.perf_counter()
         pending = [self._submit_clips(imgs, whwh,
                                       starts[i:i + cfg.clip_batch], length)
                    for i in range(0, len(starts), cfg.clip_batch)]
         self._phase('submit', t0)
+        return pending, slices, starts, length
+
+    def _finish_video(self, submitted, sfs, f, video_id) -> dict:
+        import time
+        pending, slices, starts, length = submitted
         all_boxes, all_scores, all_gazes = [], [], []
         t0 = time.perf_counter()
         if len(pending) > 1:

@@ -89,14 +89,37 @@ def bind_forward(fwd, variables, fwd_dedup=None):
     forward.dedup(frames (U,...), sel (K*T,), whwh_u (U,4), t) and the
     driver prefers it (EvalConfig.dedup_frames).
 
+    Device-pinned inputs run WHERE THEY LIVE: when `imgs` is committed to
+    a local device (the driver round-robins whole videos across
+    jax.local_devices(), the single-process analogue of the reference's
+    one-process-per-GPU eval, apis/test.py:81-135), the variables pytree
+    is replicated to that device once and cached, so each of the N local
+    devices evaluates its videos with its own resident copy instead of
+    re-shipping params per call.
+
     Outputs are returned as DEVICE arrays (not forced to numpy): jit
     dispatch is async, so the driver can submit every chunk of a video
     and pay one device->host sync when it np.asarray's the results
     (driver._submit_clips/_collect_clips)."""
+    import jax
     import jax.numpy as jnp
 
+    dev_variables = {}
+
+    def vars_for(x):
+        devs = getattr(x, 'devices', None)
+        if devs is None:
+            return variables
+        try:
+            (dev,) = devs()
+        except (TypeError, ValueError):
+            return variables
+        if dev not in dev_variables:
+            dev_variables[dev] = jax.device_put(variables, dev)
+        return dev_variables[dev]
+
     def forward(imgs, whwh, t):
-        return fwd(variables, jnp.asarray(imgs), jnp.asarray(whwh), t)
+        return fwd(vars_for(imgs), jnp.asarray(imgs), jnp.asarray(whwh), t)
 
     # the jitted fwd normalizes uint8 inputs on-device (normalize()
     # above), so the driver may ship raw u8 frames (EvalConfig.ship_uint8)
@@ -104,7 +127,7 @@ def bind_forward(fwd, variables, fwd_dedup=None):
 
     if fwd_dedup is not None:
         def dedup(frames, sel, whwh_u, t):
-            return fwd_dedup(variables, jnp.asarray(frames),
+            return fwd_dedup(vars_for(frames), jnp.asarray(frames),
                              jnp.asarray(sel, jnp.int32),
                              jnp.asarray(whwh_u), t)
 

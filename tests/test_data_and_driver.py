@@ -418,3 +418,56 @@ def test_even_clip_length_rejected(synth):
     ds = Gaze360ClipDataset(cfg, seed=0)
     with pytest.raises(ValueError, match='odd'):
         ds.get_clip(0)
+
+
+def test_multi_device_eval_matches_single_device(tmp_path):
+    """Round-robin eval over all 8 virtual devices must produce exactly
+    the single-device results, in input order, with >1 device actually
+    receiving work (the single-process analogue of the reference's
+    one-process-per-GPU eval, apis/test.py:81-135)."""
+    import jax
+
+    from mcgaze_tpu.evaluation.forward import bind_forward, make_eval_forward
+    from mcgaze_tpu.models.mcgaze import ModelConfig
+
+    root = str(tmp_path)
+    ann, prefix = make_dataset(root, num_videos=5, length=12)
+    all_videos = json.load(open(ann))['videos']
+    pairs = [(v['id'], [osp.join(prefix, n) for n in v['file_names']])
+             for v in all_videos]
+
+    mc = ModelConfig(backbone_depth=26, num_stages=2,
+                     stage_loss_weights=(1.0, 1.0), ffn_channels=256)
+    _m, variables, fwd, fwd_dedup = make_eval_forward(mc, canvas=(32, 32))
+    cfg = EvalConfig(scale=(32, 32), canvas=(32, 32), crop_ratio=0.84,
+                     clip_batch=2)
+
+    def spy(forward, seen):
+        def f(imgs, whwh, t):
+            seen.update(getattr(imgs, 'devices', set)())
+            return forward(imgs, whwh, t)
+        f.accepts_uint8 = forward.accepts_uint8
+        dd = forward.dedup
+
+        def d(frames, sel, whwh_u, t):
+            seen.update(getattr(frames, 'devices', set)())
+            return dd(frames, sel, whwh_u, t)
+        f.dedup = d
+        return f
+
+    devices = jax.local_devices()
+    assert len(devices) == 8
+
+    seen_one, seen_all = set(), set()
+    ev1 = VideoGazeEvaluator(
+        spy(bind_forward(fwd, variables, fwd_dedup), seen_one), cfg)
+    single = list(ev1.run_videos_from_paths(iter(pairs),
+                                            devices=[devices[0]]))
+    ev8 = VideoGazeEvaluator(
+        spy(bind_forward(fwd, variables, fwd_dedup), seen_all), cfg)
+    multi = list(ev8.run_videos_from_paths(iter(pairs)))
+
+    assert seen_one == {devices[0]}
+    assert len(seen_all) == 5           # one device per video, 5 videos
+    assert [r['video_id'] for r in multi] == [v['id'] for v in all_videos]
+    assert multi == single
