@@ -12,20 +12,50 @@ from __future__ import annotations
 import os
 
 
+def host_compile_cache_key() -> str:
+    """Short stable key for this host's CPU feature set.
+
+    XLA:CPU AOT cache entries embed the compile machine's target features;
+    loading one on a host missing a compiled ISA feature is undefined
+    (cpu_aot_loader warns 'could lead to execution errors such as SIGILL').
+    The persistent compile-cache dirs this repo picks are therefore keyed
+    by machine arch + /proc/cpuinfo flags, so a cache written on one
+    machine type is never offered to another."""
+    import hashlib
+    import platform
+
+    feats = ''
+    try:
+        with open('/proc/cpuinfo') as f:
+            for line in f:
+                if line.startswith(('flags', 'Features')):
+                    feats = ' '.join(sorted(line.split(':', 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    blob = f'{platform.machine()}|{feats}'
+    return hashlib.sha1(blob.encode()).hexdigest()[:10]
+
+
+def host_cache_dir(base: str | None = None) -> str:
+    """Default persistent compile-cache dir, keyed per host type."""
+    base = base or os.path.expanduser('~/.cache/mcgaze_tpu/jax')
+    return os.path.join(base, f'host-{host_compile_cache_key()}')
+
+
 def setup_jax_platform() -> None:
     """Apply JAX_PLATFORMS from the environment authoritatively. Must run
     before any jax device/backend access, so call it at the top of a CLI
     main() — NEVER at library import time (importing a tool module must not
     re-platform the host process, e.g. pytest's virtual CPU mesh).
 
-    Also points the persistent XLA compilation cache at a per-user dir
-    (override with JAX_COMPILATION_CACHE_DIR, disable with
-    MCGAZE_NO_COMPILE_CACHE=1): repeat CLI invocations then skip the
+    Also points the persistent XLA compilation cache at a per-user,
+    per-host-type dir (override with JAX_COMPILATION_CACHE_DIR, disable
+    with MCGAZE_NO_COMPILE_CACHE=1): repeat CLI invocations then skip the
     multi-minute model compiles entirely."""
     if not os.environ.get('MCGAZE_NO_COMPILE_CACHE'):
-        cache = os.environ.get(
-            'JAX_COMPILATION_CACHE_DIR',
-            os.path.expanduser('~/.cache/mcgaze_tpu/jax'))
+        cache = os.environ.get('JAX_COMPILATION_CACHE_DIR',
+                               host_cache_dir())
         try:
             os.makedirs(cache, exist_ok=True)
             import jax

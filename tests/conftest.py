@@ -17,11 +17,19 @@ if 'xla_force_host_platform_device_count' not in flags:
 # Persistent XLA compilation cache, shared by this process AND every
 # CLI subprocess the tests spawn (they inherit the env var): the train
 # CLI chain alone compiles the same train step 3x in fresh processes,
-# and repeat `pytest` runs skip all big compiles entirely.
+# and repeat `pytest` runs skip all big compiles entirely. Keyed per
+# host CPU feature set (utils/env.py::host_compile_cache_key): the repo
+# .cache travels between machine types, and XLA:CPU AOT entries from a
+# different machine can SIGILL on load.
+import sys  # noqa: E402
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+from mcgaze_tpu.utils.env import host_compile_cache_key  # noqa: E402
+
 _CACHE = osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))),
-                  '.cache', 'jax')
+                  '.cache', 'jax', f'host-{host_compile_cache_key()}')
 os.makedirs(_CACHE, exist_ok=True)
-os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', _CACHE)
+os.environ['JAX_COMPILATION_CACHE_DIR'] = _CACHE
 
 import jax  # noqa: E402
 

@@ -33,3 +33,14 @@ def test_setup_threads_noop():
     from mcgaze_tpu.utils.env import setup_threads
     setup_threads(None)
     setup_threads(2)
+
+
+def test_host_compile_cache_key_stable_and_keyed():
+    from mcgaze_tpu.utils.env import host_cache_dir, host_compile_cache_key
+    k1, k2 = host_compile_cache_key(), host_compile_cache_key()
+    assert k1 == k2 and len(k1) == 10 and k1.isalnum()
+    d = host_cache_dir('/some/base')
+    assert d == f'/some/base/host-{k1}'
+    # conftest wired the pytest cache through the same keying
+    import os
+    assert os.environ['JAX_COMPILATION_CACHE_DIR'].endswith(f'host-{k1}')
