@@ -55,10 +55,17 @@ def test_commands_parse_against_real_clis():
                             stderr=subprocess.PIPE, text=True, cwd=REPO)
         for s in scripts if osp.exists(osp.join(REPO, s))}
     help_cache = {}
-    for s, p in procs.items():
-        out, err = p.communicate(timeout=180)
-        assert p.returncode == 0, (s, err)
-        help_cache[s] = out
+    try:
+        for s, p in procs.items():
+            out, err = p.communicate(timeout=180)
+            assert p.returncode == 0, (s, err)
+            help_cache[s] = out
+    finally:
+        # one timeout/assert must not leak the other concurrently
+        # spawned jax-importing interpreters (advisor round-3)
+        for p in procs.values():
+            if p.poll() is None:
+                p.kill()
     for cmd in fenced_commands():
         argv = shlex.split(cmd)
         if argv[0] == 'bash':

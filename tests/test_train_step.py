@@ -207,3 +207,17 @@ def test_loss_masks_head_only_frames():
     assert float(out['head_gaze_loss']) > 0.0
     # cls loss is never zero: negatives contribute focal background term
     assert float(out['face_loss_cls']) > 0.0
+
+
+def test_sharded_step_matches_unsharded_2x1_fast():
+    """Fast-suite sharded coverage (advisor round-3): the full
+    params/grad-norm/updated-params equivalence on a minimal 2-device
+    data mesh, so a PartitionSpec regression that happens to preserve
+    the loss scalar can't ride the slow-marking of the 4x2/8x1 variants
+    through fast CI. ~2x the single-step cost of the tiny config."""
+    _sharded_equivalence([make_mesh(n_data=2, n_model=1)], b=2)
+
+
+def test_sharded_step_matches_unsharded_1x2_fast():
+    """Same, exercising only the TP axis (model=2, batch unsharded)."""
+    _sharded_equivalence([make_mesh(n_data=1, n_model=2)], b=2)
