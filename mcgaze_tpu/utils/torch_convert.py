@@ -96,13 +96,44 @@ def _mlp_tower(params, jx, tk_list, sd):
         _ln(params, f'{jx}/ln{i}', ln, sd)
 
 
+class _TrackedDict(dict):
+    """dict recording which keys a converter actually read, so extra
+    checkpoint tensors (optimizer moments, EMA shadows, aux heads) are
+    REPORTED instead of silently ignored — the analogue of mmcv
+    load_checkpoint's unexpected-keys log (apis/inference.py:46 loads
+    with revise_keys tolerance but still prints the leftovers)."""
+
+    def __init__(self, *a, **k):
+        super().__init__(*a, **k)
+        self.consumed = set()
+
+    def __getitem__(self, key):
+        self.consumed.add(key)
+        return super().__getitem__(key)
+
+
+def _warn_unexpected(sd: '_TrackedDict', benign, what: str):
+    """Warn (never raise) about unconsumed checkpoint keys; `benign`
+    is a predicate for keys that are expected to be extra."""
+    leftovers = sorted(k for k in sd
+                       if k not in sd.consumed and not benign(k))
+    if leftovers:
+        import warnings
+        warnings.warn(
+            f'{what}: {len(leftovers)} checkpoint tensors have no '
+            f'counterpart in this model and were ignored '
+            f'(load proceeds, mmcv load_checkpoint tolerance): '
+            f'{leftovers[:8]}{"..." if len(leftovers) > 8 else ""}')
+    return leftovers
+
+
 def convert_mcgaze_checkpoint_dict(sd: dict, num_stages: int = 4) -> dict:
     """Full MCGaze .pth state_dict -> {'params':..., 'stats':...} nested
     dicts of numpy arrays (caller merges into init shapes)."""
     params: Dict[str, Any] = {}
     stats: Dict[str, Any] = {}
-    sd = {k[len('module.'):] if k.startswith('module.') else k: v
-          for k, v in sd.items()}
+    sd = _TrackedDict({k[len('module.'):] if k.startswith('module.')
+                       else k: v for k, v in sd.items()})
 
     convert_backbone(params, stats, sd)
 
@@ -147,6 +178,16 @@ def convert_mcgaze_checkpoint_dict(sd: dict, num_stages: int = 4) -> dict:
                     f'{tg}.fc_{clue}_confidence', sd)
         _linear(params, f'{jg}/fc_gaze', f'{tg}.fc_gaze', sd)
 
+    def benign(k):
+        # BN bookkeeping; and BBoxHead's dead default heads, proven
+        # never read by GazeSTQIHead.forward (the reference-model
+        # oracle's key-surface lock,
+        # tests/test_reference_model_oracle.py::ref_model)
+        return (k.endswith('num_batches_tracked')
+                or (k.startswith('roi_head.bbox_head.')
+                    and ('.fc_cls.' in k or '.fc_reg.' in k)))
+
+    _warn_unexpected(sd, benign, 'convert_mcgaze_checkpoint_dict')
     return dict(params=params, stats=stats)
 
 
@@ -259,7 +300,8 @@ def convert_query_checkpoint_dict(sd: dict, num_stages: int = 6,
     stats: Dict[str, Any] = {}
     sd = {k[len('module.'):] if k.startswith('module.') else k: v
           for k, v in sd.items()}
-    sd = {k.replace('mask_head', 'blink_head'): v for k, v in sd.items()}
+    sd = _TrackedDict({k.replace('mask_head', 'blink_head'): v
+                       for k, v in sd.items()})
 
     if backbone == 'msgshift':
         convert_msgshift_backbone(params, sd)
@@ -306,6 +348,8 @@ def convert_query_checkpoint_dict(sd: dict, num_stages: int = 6,
             "(QueryDetectorConfig). Checkpoints trained by THIS repo "
             "use the chained tower and need the default (False).")
 
+    _warn_unexpected(sd, lambda k: k.endswith('num_batches_tracked'),
+                     'convert_query_checkpoint_dict')
     return dict(params=params, stats=stats)
 
 

@@ -169,3 +169,55 @@ def test_torchvision_backbone_convert(converted):
     assert k.shape == (7, 7, 3, 64)
     np.testing.assert_allclose(
         k, np.transpose(tv_sd['conv1.weight'], (2, 3, 1, 0)))
+
+
+def test_messy_checkpoint_reports_unexpected_keys(tmp_path):
+    """A reference-shaped .pth that ALSO carries optimizer state, mmcv
+    EMAHook shadow buffers (ema_<name> with dots->underscores), and an
+    unknown aux tensor must convert to exactly the clean conversion,
+    with the extras named in a warning — mirroring load_checkpoint's
+    unexpected-keys tolerance (apis/inference.py:46). BN
+    num_batches_tracked and the dead BBoxHead fc_cls/fc_reg defaults
+    (key-surface lock, test_reference_model_oracle.py) stay silent."""
+    import warnings
+
+    import torch
+
+    from mcgaze_tpu.models.mcgaze import ModelConfig, init_model
+    from mcgaze_tpu.utils.torch_convert import convert_torch_checkpoint
+
+    rng = np.random.RandomState(5)
+    sd = reference_state_dict(rng)
+    _, variables = init_model(ModelConfig(), jax.random.PRNGKey(0),
+                              image_size=(64, 64))
+    clean_path = str(tmp_path / 'clean.pth')
+    torch.save({'state_dict': {k: torch.from_numpy(v)
+                               for k, v in sd.items()}}, clean_path)
+    with warnings.catch_warnings():
+        warnings.simplefilter('error')      # clean ckpt must NOT warn
+        clean = convert_torch_checkpoint(clean_path, variables)
+
+    messy = {k: torch.from_numpy(v) for k, v in sd.items()}
+    # mmcv EMAHook registers shadow buffers named ema_<param with . -> _>
+    for k, v in list(sd.items())[:6]:
+        messy['ema_' + k.replace('.', '_')] = torch.from_numpy(v.copy())
+    # silent extras: BN bookkeeping + the dead BBoxHead default heads
+    messy['backbone.bn1.num_batches_tracked'] = torch.tensor(7000)
+    messy['roi_head.bbox_head.0.fc_cls.weight'] = torch.zeros(2, 12544)
+    messy['roi_head.bbox_head.0.fc_cls.bias'] = torch.zeros(2)
+    messy['aux_head.fc.weight'] = torch.zeros(3, 3)
+    messy_path = str(tmp_path / 'messy.pth')
+    torch.save({'state_dict': messy,
+                'optimizer': {'state': {}, 'param_groups': []},
+                'meta': {'epoch': 1}}, messy_path)
+
+    with pytest.warns(UserWarning, match='no counterpart') as rec:
+        converted = convert_torch_checkpoint(messy_path, variables)
+    msg = '\n'.join(str(w.message) for w in rec)
+    assert 'aux_head.fc.weight' in msg
+    assert 'ema_' in msg
+    assert 'num_batches_tracked' not in msg
+    assert 'fc_cls' not in msg
+
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), clean, converted)
