@@ -27,11 +27,15 @@ collective-free relayout; all stages unroll into the enclosing jit.
 LayerNorm epsilon is 1e-6 here (norm_cfg at msgshift.py:586), unlike
 the heads' torch-default 1e-5.
 
-Known deviation: the reference applies DropPath (stochastic depth,
-rate 0.1) around attention/FFN residuals during training
-(msgshift.py:408,420). No TeViT training config or checkpoint ships in
-the fork, so this regulariser is omitted here; forward numerics at eval
-(DropPath = identity) are unaffected.
+DropPath (stochastic depth): the reference wraps both residual adds of
+every encoder layer in DropPath with a linear 0 -> drop_path_rate (0.1)
+ramp over the 16 layers (msgshift.py:408,420,581,638: the
+`dropout_layer=dict(type='DropPath')` on attention and FFN, rates from
+torch.linspace). Replicated here as per-frame bernoulli masks on the
+residual branches, active only when the caller passes
+``deterministic=False`` AND provides a ``'droppath'`` RNG (the query
+train step threads a per-step fold_in key); eval numerics are untouched
+(tests/test_msgshift.py pins eval == drop_path_rate=0 forward).
 """
 from __future__ import annotations
 
@@ -198,20 +202,40 @@ class PVTEncoderLayer(nn.Module):
     heads: int
     hidden: int
     sr_ratio: int
+    # stochastic-depth rate for this layer's two residual branches
+    # (reference msgshift.py:408,420: DropPath around attention and FFN,
+    # independent masks per branch, shared across the spatial and
+    # messenger tokens of a frame — they form ONE token sequence there)
+    drop_path: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
+    def _branch_mask(self, n):
+        """Per-frame keep/scale mask, mmcv DropPath semantics: sample a
+        bernoulli(keep) per leading-dim row, scale kept rows 1/keep."""
+        keep = 1.0 - self.drop_path
+        mask = jax.random.bernoulli(self.make_rng('droppath'), keep,
+                                    (n, 1, 1))
+        return mask.astype(self.dtype) / keep
+
     @nn.compact
-    def __call__(self, x, hw, msg):
+    def __call__(self, x, hw, msg, deterministic: bool = True):
+        drop = self.drop_path > 0.0 and not deterministic
         norm1 = nn.LayerNorm(epsilon=LN_EPS_PVT, dtype=self.dtype,
                              name='norm1')
         ax, amsg = SRAttention(self.channels, self.heads, self.sr_ratio,
                                dtype=self.dtype, name='attn')(
                                    norm1(x), hw, norm1(msg))
+        if drop:
+            m = self._branch_mask(x.shape[0])
+            ax, amsg = ax * m, amsg * m
         x, msg = x + ax, msg + amsg
         norm2 = nn.LayerNorm(epsilon=LN_EPS_PVT, dtype=self.dtype,
                              name='norm2')
         fx, fmsg = MixFFN(self.channels, self.hidden, dtype=self.dtype,
                           name='ffn')(norm2(x), hw, norm2(msg))
+        if drop:
+            m = self._branch_mask(x.shape[0])
+            fx, fmsg = fx * m, fmsg * m
         return x + fx, msg + fmsg
 
 
@@ -232,6 +256,11 @@ class MsgShifT(nn.Module):
     paddings: Tuple[int, ...] = (3, 1, 1, 1)
     sr_ratios: Tuple[int, ...] = (8, 4, 2, 1)
     mlp_ratios: Tuple[int, ...] = (8, 8, 4, 4)
+    # stochastic-depth ceiling; per-layer rate ramps linearly 0 -> this
+    # over the 16 layers (reference msgshift.py:581 default 0.1, :638
+    # torch.linspace rule). Only active with deterministic=False + a
+    # 'droppath' RNG; the default eval/parity paths are unchanged.
+    drop_path_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -239,14 +268,16 @@ class MsgShifT(nn.Module):
         return tuple(self.embed_dim * h for h in self.num_heads)
 
     @nn.compact
-    def __call__(self, x, clip_length: int):
+    def __call__(self, x, clip_length: int, deterministic: bool = True):
         """x (B*T, H, W, 3) -> 4-level tuple of NHWC features."""
         msg0 = self.param('msg_tokens',
                           nn.initializers.truncated_normal(0.02),
                           (1, self.num_msg_tokens, 3))
         msg = jnp.broadcast_to(msg0, (x.shape[0],) + msg0.shape[1:]
                                ).astype(self.dtype)
+        total = sum(self.num_layers)
         outs = []
+        gl = 0                        # global layer index for the ramp
         for i, depth in enumerate(self.num_layers):
             ch = self.stage_channels[i]
             x, hw, msg = PatchEmbed(ch, self.patch_sizes[i],
@@ -254,10 +285,13 @@ class MsgShifT(nn.Module):
                                     dtype=self.dtype,
                                     name=f'patch_embed{i}')(x, msg)
             for lid in range(depth):
+                dpr = self.drop_path_rate * gl / max(total - 1, 1)
+                gl += 1
                 x, msg = PVTEncoderLayer(
                     ch, self.num_heads[i], self.mlp_ratios[i] * ch,
-                    self.sr_ratios[i], dtype=self.dtype,
-                    name=f'stage{i}_layer{lid}')(x, hw, msg)
+                    self.sr_ratios[i], drop_path=dpr, dtype=self.dtype,
+                    name=f'stage{i}_layer{lid}')(
+                        x, hw, msg, deterministic=deterministic)
                 # shift directions alternate per layer; the last layer of
                 # an odd-depth stage does not shift (msgshift.py:677-684)
                 last_odd = (lid == depth - 1) and (depth % 2 == 1)

@@ -83,6 +83,11 @@ class QueryDetectorConfig:
     # msgshift backbone knobs (models/msgshift.py)
     msg_num_tokens: int = 32
     msg_shift_strides: Tuple[int, ...] = (1, -1, 2, -2)
+    # stochastic-depth ceiling for MsgShifT training (reference
+    # msgshift.py:581 default 0.1, linear ramp :638); applied only when
+    # the train step passes train=True with a 'droppath' RNG — eval and
+    # checkpoint numerics are unaffected (the rate adds no params)
+    msg_drop_path_rate: float = 0.1
     # losses (stage weights all 1.0 per instblink_roi_head.py:16)
     loss_cls_weight: float = 2.0
     loss_bbox_weight: float = 5.0
@@ -203,6 +208,7 @@ class QueryDetector(nn.Module):
             from .msgshift import MsgShifT
             self.backbone = MsgShifT(num_msg_tokens=cfg.msg_num_tokens,
                                      shift_strides=cfg.msg_shift_strides,
+                                     drop_path_rate=cfg.msg_drop_path_rate,
                                      dtype=dtype)
         else:
             self.backbone = ResNet(50, dtype=dtype)
@@ -235,11 +241,13 @@ class QueryDetector(nn.Module):
                 for _ in range(cfg.num_stages))
 
     def extract_features(self, imgs: jnp.ndarray,
-                         clip_length: int | None = None) -> tuple:
+                         clip_length: int | None = None,
+                         train: bool = False) -> tuple:
         if self.cfg.backbone == 'msgshift':
             t = clip_length or self.cfg.clip_length
             return self.neck(self.backbone(
-                imgs.astype(self.cfg.jnp_dtype), clip_length=t))
+                imgs.astype(self.cfg.jnp_dtype), clip_length=t,
+                deterministic=not train))
         return self.neck(self.backbone(imgs.astype(self.cfg.jnp_dtype)))
 
     def run_heads(self, feats: tuple, img_whwh: jnp.ndarray,
@@ -289,14 +297,19 @@ class QueryDetector(nn.Module):
         return dict(stages=stages_out)
 
     def __call__(self, imgs: jnp.ndarray, img_whwh: jnp.ndarray,
-                 clip_length: int | None = None) -> dict:
+                 clip_length: int | None = None,
+                 train: bool = False) -> dict:
         """imgs (N, H, W, 3) normalised; img_whwh (N, 4); N = B*T.
+
+        train=True enables the MsgShifT DropPath regulariser (requires a
+        'droppath' RNG in apply's rngs; no-op for the ResNet backbone).
 
         Returns dict(stages=[dict(cls_logits (N, Q, C), boxes (N, Q, 4)
         absolute xyxy, blink_logits (N, Q) when with_blink)]).
         """
         return self.run_heads(
-            self.extract_features(imgs, clip_length), img_whwh, clip_length)
+            self.extract_features(imgs, clip_length, train=train),
+            img_whwh, clip_length)
 
 
 def topk_tracks(stage_out: dict, clip_length: int, max_per_img: int,

@@ -42,18 +42,29 @@ def make_query_train_step(cfg: QueryDetectorConfig, oc: OptimConfig):
     tx = make_optimizer(oc)
     t = cfg.clip_length
 
-    def loss_fn(params, stats, batch):
+    # MsgShifT trains with DropPath (reference msgshift.py:408,420,581);
+    # the per-step RNG is deterministic (fold_in of the step counter) so
+    # resumed runs replay the same mask stream
+    use_droppath = (cfg.backbone == 'msgshift'
+                    and cfg.msg_drop_path_rate > 0.0)
+
+    def loss_fn(params, stats, batch, step):
         variables = {'params': params}
         if stats:
             variables['stats'] = stats
+        kwargs = {}
+        if use_droppath:
+            kwargs = dict(train=True, rngs={'droppath': jax.random.fold_in(
+                jax.random.PRNGKey(0x0d0b), step)})
         out = model.apply(variables, batch['imgs'], batch['whwh'],
-                          clip_length=t)
+                          clip_length=t, **kwargs)
         return total_loss(cfg, out, batch, t)
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch):
         (_loss, logs), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, state.stats, batch)
+            loss_fn, has_aux=True)(state.params, state.stats, batch,
+                                   state.step)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         logs['grad_norm'] = optax.global_norm(grads)

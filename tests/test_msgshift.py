@@ -100,3 +100,44 @@ def test_clip_length_one_is_frame_independent(small_vars):
     one = fwd(v, jnp.asarray(x[:1]), clip_length=1)
     np.testing.assert_allclose(np.asarray(both[-1][:1]),
                                np.asarray(one[-1]), rtol=2e-5, atol=2e-5)
+
+
+def test_drop_path_eval_unchanged_and_train_active(small_vars):
+    """DropPath (reference msgshift.py:408,420,581,638): rate>0 must not
+    change the param tree or the deterministic (eval) forward; with
+    deterministic=False + a 'droppath' RNG the forward differs and stays
+    finite; rate 0 in train mode equals eval."""
+    m, v, fwd = small_vars
+    md = MsgShifT(drop_path_rate=0.1)
+    x = jnp.asarray(np.random.RandomState(3).randn(2, 64, 96, 3),
+                    jnp.float32)
+
+    # identical param tree: the eval variables load as-is
+    vd = jax.jit(md.init, static_argnames='clip_length')(
+        jax.random.PRNGKey(0), x, clip_length=1)
+    assert jax.tree.structure(vd) == jax.tree.structure(v)
+
+    base = fwd(v, x, clip_length=2)
+    fwd_d = jax.jit(md.apply,
+                    static_argnames=('clip_length', 'deterministic'))
+    evald = fwd_d(v, x, clip_length=2, deterministic=True)
+    for a, b in zip(base, evald):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    trained = jax.jit(
+        md.apply, static_argnames=('clip_length', 'deterministic'))(
+            v, x, clip_length=2, deterministic=False,
+            rngs={'droppath': jax.random.PRNGKey(7)})
+    diffs = [float(np.abs(np.asarray(a) - np.asarray(b)).max())
+             for a, b in zip(base, trained)]
+    assert max(diffs) > 1e-3, diffs            # some branch was dropped
+    assert all(np.isfinite(np.asarray(t)).all() for t in trained)
+
+    # rate 0 in train mode is exactly eval (layer 0's ramp rate is 0
+    # even at rate>0 — torch.linspace starts at 0)
+    m0 = MsgShifT(drop_path_rate=0.0)
+    t0 = jax.jit(m0.apply,
+                 static_argnames=('clip_length', 'deterministic'))(
+                     v, x, clip_length=2, deterministic=False)
+    for a, b in zip(base, t0):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
