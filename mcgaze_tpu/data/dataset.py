@@ -40,6 +40,12 @@ class DataConfig:
     flip_ratio: float = 0.5
     batch_size: int = 32
     gaze_dim: int = 3
+    # Ship raw uint8 training frames and normalize inside the train step
+    # (4x less H2D per batch — 135 MB -> 34 MB at the reference's
+    # 32x7x224px batch; identical numerics, the eval path's
+    # EvalConfig.ship_uint8 applied to training). Needs the native
+    # loader; the python fallback ignores it.
+    ship_uint8: bool = False
 
 
 
@@ -222,15 +228,18 @@ class Gaze360ClipDataset:
                 clips.append(clip)
                 if len(clips) < bs:
                     continue
-                imgs = np.empty((bs, t, *self.cfg.canvas, 3), np.float32)
+                u8 = (self.cfg.ship_uint8
+                      and getattr(self._native, '_has_u8', False))
+                imgs = np.empty((bs, t, *self.cfg.canvas, 3),
+                                np.uint8 if u8 else np.float32)
                 paths = [p for c in clips for p in c['paths']]
                 crops = [c['params'].crop_ratio for c in clips
                          for _ in range(t)]
                 flips = [c['params'].flip for c in clips for _ in range(t)]
-                self._native.load(
-                    paths, crops, flips,
-                    self.cfg.scale, self.cfg.canvas,
-                    out=imgs.reshape(bs * t, *self.cfg.canvas, 3))
+                loader = self._native.load_u8 if u8 else self._native.load
+                loader(paths, crops, flips,
+                       self.cfg.scale, self.cfg.canvas,
+                       out=imgs.reshape(bs * t, *self.cfg.canvas, 3))
                 yield dict(
                     imgs=imgs,
                     img_whwh=np.stack([c['img_whwh'] for c in clips]),

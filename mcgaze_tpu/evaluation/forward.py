@@ -15,6 +15,28 @@ from functools import partial
 import numpy as np
 
 
+def device_normalize(imgs, whwh):
+    """uint8 frames -> ImageNet-normalized f32 with the pad region
+    zeroed, ON DEVICE (traced under the caller's jit). Raw u8 shipping
+    moves 4x fewer bytes host->device; the reference pads AFTER
+    normalize, so pad must be 0 in normalized space, not a normalized
+    black pixel. f32 inputs (already normalized host-side) pass through
+    untouched. Shared by the eval forwards and the train step."""
+    import jax.numpy as jnp
+
+    if imgs.dtype != jnp.uint8:
+        return imgs
+    from ..data.transforms import IMAGENET_MEAN, IMAGENET_STD
+    imgs = (imgs.astype(jnp.float32) -
+            jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+    hh, ww = imgs.shape[-3], imgs.shape[-2]
+    xx = jnp.arange(ww)[None, None, :]
+    yy = jnp.arange(hh)[None, :, None]
+    valid = ((xx < whwh[:, 0, None, None]) &
+             (yy < whwh[:, 1, None, None]))
+    return imgs * valid[..., None]
+
+
 def make_eval_forward(model_cfg, canvas=(224, 224), init_variables=True):
     """Returns (model, variables, fwd, fwd_dedup) where
     fwd(variables, imgs (N,H,W,3) f32|u8, whwh (N,4), t) ->
@@ -35,22 +57,7 @@ def make_eval_forward(model_cfg, canvas=(224, 224), init_variables=True):
     else:
         model, variables = MCGazeModel(model_cfg), None
 
-    def normalize(imgs, whwh):
-        if imgs.dtype == jnp.uint8:
-            # raw frames shipped as uint8 (4x less H2D traffic); ImageNet
-            # normalization + the pad-region zeroing (the reference pads
-            # AFTER normalize, so pad must be 0 in normalized space, not
-            # a normalized black pixel) both fuse on-device
-            from ..data.transforms import IMAGENET_MEAN, IMAGENET_STD
-            imgs = (imgs.astype(jnp.float32) -
-                    jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
-            hh, ww = imgs.shape[1], imgs.shape[2]
-            xx = jnp.arange(ww)[None, None, :]
-            yy = jnp.arange(hh)[None, :, None]
-            valid = ((xx < whwh[:, 0, None, None]) &
-                     (yy < whwh[:, 1, None, None]))
-            imgs = imgs * valid[..., None]
-        return imgs
+    normalize = device_normalize
 
     def last_stage(out):
         last = out['stages'][-1]

@@ -132,6 +132,9 @@ def make_train_step(cfg: ModelConfig, oc: OptimConfig):
         b, t = batch['imgs'].shape[:2]
         imgs = batch['imgs'].reshape(b * t, *batch['imgs'].shape[2:])
         whwh = batch['img_whwh'].reshape(b * t, 4)
+        # raw uint8 batches (DataConfig.ship_uint8) normalize on-device
+        from ..evaluation.forward import device_normalize
+        imgs = device_normalize(imgs, whwh)
         out = model.apply({'params': params, 'stats': stats}, imgs, whwh,
                           clip_length=t)
         tg = flatten_targets(batch['gt_boxes'], batch['gt_valid'],

@@ -131,3 +131,33 @@ def test_native_u8_pixels_roundtrip(cfg_on_disk):
     nh, nw = meta_a[0, 4], meta_a[0, 5]
     np.testing.assert_allclose(renorm[:, :nh, :nw], f32[:, :nh, :nw],
                                atol=1e-5)
+
+
+def test_ship_uint8_train_batches_match_f32(cfg_on_disk):
+    """DataConfig.ship_uint8 (raw u8 training batches + in-step
+    normalization, train/loop.py::loss_fn -> device_normalize) must
+    produce the f32 pipeline's exact batch: same GT arrays, and
+    device_normalize(u8) == the host-normalized f32 frames."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from mcgaze_tpu.evaluation.forward import device_normalize
+
+    if not native_available():
+        pytest.skip('native loader unavailable')
+    ds_f32 = Gaze360ClipDataset(cfg_on_disk, seed=3)
+    ds_u8 = Gaze360ClipDataset(
+        dataclasses.replace(cfg_on_disk, ship_uint8=True), seed=3)
+    a = next(ds_f32.batches(batch_size=2, seed=9))
+    b = next(ds_u8.batches(batch_size=2, seed=9))
+    assert b['imgs'].dtype == np.uint8
+    for k in ('img_whwh', 'gt_boxes', 'gt_valid', 'gt_gazes'):
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+    bs, t = b['imgs'].shape[:2]
+    norm = device_normalize(
+        jnp.asarray(b['imgs'].reshape(bs * t, *b['imgs'].shape[2:])),
+        jnp.asarray(b['img_whwh'].reshape(bs * t, 4)))
+    np.testing.assert_allclose(
+        np.asarray(norm),
+        a['imgs'].reshape(bs * t, *a['imgs'].shape[2:]), atol=1e-5)
