@@ -154,6 +154,22 @@ _VMEM_BLOCK_BUDGET = 10 * 1024 * 1024
 _MAX_ROIS_PER_STEP = 16
 
 
+def _step_vmem_bytes(sizes, cc, r, out_size, itemsize):
+    """Estimate of one grid step's scoped-VMEM use: double-buffered
+    pyramid blocks + the kernel's f32 contraction temporaries (the
+    (R*out, W*CC) row blocks — these scale with R, so the query family's
+    R=10 chunks cost ~6x the gaze path's R=3 at the same pyramid) + the
+    double-buffered out block. Calibrated against observed Mosaic stack
+    allocations (which run ~1.3x this estimate — the params decision
+    below doubles it)."""
+    cells = sum(h * w for (h, w) in sizes)
+    blocks = cells * cc * itemsize * 2
+    max_w = max(w for (_, w) in sizes)
+    temp = r * out_size * max_w * cc * 4 * 2
+    out_blk = r * out_size * out_size * cc * itemsize * 2
+    return blocks + temp + out_blk
+
+
 def _channel_chunk(sizes, c, itemsize):
     """Largest power-of-two channel block cc | C whose per-step pyramid
     blocks (double-buffered) fit the VMEM budget. At the gaze360 eval
@@ -164,8 +180,9 @@ def _channel_chunk(sizes, c, itemsize):
     vmem limit'), so the channel axis is split across a second grid
     dimension. Floor 128: Mosaic requires the last block dim be a
     multiple of 128 lanes (or the whole array dim); when 128 still
-    overflows, the wrapper raises the kernel's vmem_limit_bytes instead
-    (v5e has 128 MiB VMEM — 16 MiB is only the default cap)."""
+    overflows, the wrapper raises the kernel's vmem_limit_bytes per the
+    R-aware _step_vmem_bytes estimate (v5e has 128 MiB VMEM — 16 MiB is
+    only the default cap)."""
     cells = sum(h * w for (h, w) in sizes)
     cc = c
     while cc > 128 and cc % 2 == 0 and cells * cc * itemsize * 2 > \
@@ -298,14 +315,16 @@ def roi_align_fpn_pallas(feats: tuple,
                                    lambda j, i, fidx: (i, 0, 0, 0, j),
                                    memory_space=pltpu.VMEM),
         )
-    # when even the minimum chunk's double-buffered blocks exceed the
+    # when even the minimum chunk's estimated step footprint exceeds the
     # default scoped-vmem cap, lift the cap for this kernel (usage is
-    # real VMEM either way; v5e has 128 MiB)
-    block_bytes = sum(h * w for (h, w) in sizes) * cc * dtype.itemsize * 2
+    # real VMEM either way; v5e has 128 MiB). The estimate runs ~30%
+    # under Mosaic's actual stack allocation (17.9M estimated vs 22.92M
+    # observed at the InstBlink 384x640 R=10 cc=128 shape), hence the 2x.
+    step_bytes = _step_vmem_bytes(sizes, cc, r, out_size, dtype.itemsize)
     params = None
-    if block_bytes > _VMEM_BLOCK_BUDGET and not interpret:
+    if step_bytes > _VMEM_BLOCK_BUDGET and not interpret:
         params = pltpu.CompilerParams(
-            vmem_limit_bytes=min(block_bytes * 2 + 16 * 1024 * 1024,
+            vmem_limit_bytes=min(step_bytes * 2 + 16 * 1024 * 1024,
                                  120 * 1024 * 1024))
     out = pl.pallas_call(
         _k,
