@@ -1,16 +1,22 @@
-"""Train-step throughput: ms/step and clips/s for the compiled
-train_step at the reference batch, per dtype.
+"""Train-step throughput: compiled-step ms and clips/s, plus (--e2e) the
+FULL training input path — fabricated rawframes on disk -> native C++
+decode + clip augmentation -> H2D prefetch overlapped with the donated
+train step — the reference's 8-worker-dataloader flow
+(mmdet/datasets/builder.py:87-160) measured the TPU-native way.
 
 The reference trains fp32 (no fp16 hook in its configs), so f32 is this
-repo's parity default; this script measures what switching the compute
-dtype (`--cfg-options model.dtype=bfloat16` on tools/train.py) buys on
-TPU, plus the first-step loss in both dtypes as a sanity signal.
+repo's parity default; --dtypes bfloat16 measures what the compute-dtype
+switch buys on TPU.
 
 Serial-chain timing via the donated state: the returned state feeds the
-next iteration, so steps chain naturally; one loss readback at the end.
+next iteration, so steps chain naturally; ONE loss readback at the end
+(a per-step readback on the tunnelled bench platform measures the ~27 ms
+RTT, not the chip).
 
-Usage: python tools/analysis_tools/train_bench.py [--batch 32]
-           [--dtypes float32 bfloat16]
+Usage:
+  python tools/analysis_tools/train_bench.py [--batch 32] [--dtypes ...]
+  python tools/analysis_tools/train_bench.py --e2e [--videos 8]
+      [--frames 56] [--iters 10] [--roofline-only]
 """
 import argparse
 import json
@@ -23,22 +29,7 @@ import numpy as np
 sys.path.insert(0, osp.join(osp.dirname(osp.abspath(__file__)), '..', '..'))
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument('--batch', type=int, default=32)
-    ap.add_argument('--image', type=int, default=224)
-    ap.add_argument('--iters', type=int, default=10)
-    ap.add_argument('--warmup', type=int, default=2)
-    ap.add_argument('--dtypes', nargs='+',
-                    default=['float32', 'bfloat16'])
-    args = ap.parse_args()
-
-    import jax
-    import jax.numpy as jnp
-
-    from mcgaze_tpu.models.mcgaze import ModelConfig
-    from mcgaze_tpu.train.loop import (OptimConfig, create_train_state,
-                                       make_train_step)
+def _synth_batch(args, jnp):
     from mcgaze_tpu.train.targets import slot_layout_from_counts
 
     rng = np.random.RandomState(0)
@@ -52,10 +43,22 @@ def main():
     gl = [[0, 0, -1]] * 3
     sb, sv, sg = slot_layout_from_counts(bl, gl)
     boxes[:], valid[:], gazes[:] = sb, sv, sg
-    batch = dict(imgs=jnp.asarray(imgs), img_whwh=jnp.asarray(whwh),
-                 gt_boxes=jnp.asarray(boxes), gt_valid=jnp.asarray(valid),
-                 gt_gazes=jnp.asarray(gazes))
+    return dict(imgs=jnp.asarray(imgs), img_whwh=jnp.asarray(whwh),
+                gt_boxes=jnp.asarray(boxes), gt_valid=jnp.asarray(valid),
+                gt_gazes=jnp.asarray(gazes))
 
+
+def bench_compiled_step(args):
+    """Device-resident synthetic batch: the compiled-step ceiling."""
+    import jax
+    import jax.numpy as jnp
+
+    from mcgaze_tpu.models.mcgaze import ModelConfig
+    from mcgaze_tpu.train.loop import (OptimConfig, create_train_state,
+                                       make_train_step)
+
+    batch = _synth_batch(args, jnp)
+    b, img = args.batch, args.image
     for dtype in args.dtypes:
         cfg = ModelConfig(dtype=dtype)
         oc = OptimConfig()
@@ -71,9 +74,147 @@ def main():
         loss = float(logs['loss'])             # single completion barrier
         dt = (time.perf_counter() - start) / args.iters
         print(json.dumps(dict(
-            dtype=dtype, ms_per_step=round(dt * 1e3, 2),
+            mode='compiled_step', dtype=dtype,
+            ms_per_step=round(dt * 1e3, 2),
             clips_per_sec=round(b / dt, 1), loss=round(loss, 4))))
     return 0
+
+
+def fabricate_rawframes(root, num_videos, frames, hw=(480, 640)):
+    """PNG rawframes + COCO-VID json with 3 clue tracks per video
+    (Gaussian-blurred noise: raw-noise PNGs barely compress and
+    overstate decode cost ~3x vs camera frames — same fixture discipline
+    as benchmark.py --e2e)."""
+    import os
+
+    import cv2
+
+    rng = np.random.RandomState(0)
+    h, w = hw
+    videos, annotations = [], []
+    ann_id = 1
+    for vid in range(1, num_videos + 1):
+        d = osp.join(root, f'{vid:03d}')
+        os.makedirs(d, exist_ok=True)
+        names = []
+        for f in range(frames):
+            p = osp.join(d, f'{f:05d}.png')
+            img = cv2.GaussianBlur(
+                rng.randint(0, 255, (h, w, 3), np.uint8), (0, 0), 3.0)
+            cv2.imwrite(p, img)
+            names.append(f'{vid:03d}/{f:05d}.png')
+        videos.append(dict(id=vid, width=w, height=h, length=frames,
+                           file_names=names))
+        gaze = rng.randn(frames, 3)
+        gaze /= np.linalg.norm(gaze, axis=1, keepdims=True)
+        for bb in ([w * .3, h * .2, w * .2, h * .2],
+                   [w * .32, h * .24, w * .16, h * .06],
+                   [w * .25, h * .1, w * .3, h * .45]):
+            annotations.append(dict(id=ann_id, video_id=vid,
+                                    category_id=1,
+                                    bboxes=[list(bb)] * frames,
+                                    gaze=gaze.tolist()))
+            ann_id += 1
+    ann = osp.join(root, 'train.json')
+    json.dump(dict(videos=videos, annotations=annotations,
+                   categories=[dict(id=1, name='person_face')]),
+              open(ann, 'w'))
+    return ann, root + '/'
+
+
+def bench_e2e(args):
+    """Sustained training throughput over the real input path."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from mcgaze_tpu.data.dataset import DataConfig, Gaze360ClipDataset
+    from mcgaze_tpu.data.prefetch import device_put_batches
+    from mcgaze_tpu.models.mcgaze import ModelConfig
+    from mcgaze_tpu.train.loop import (OptimConfig, create_train_state,
+                                       make_train_step)
+
+    root = tempfile.mkdtemp(prefix='train_e2e_')
+    print(f'[train_bench] fabricating {args.videos}x{args.frames} '
+          f'rawframes under {root}')
+    ann, prefix = fabricate_rawframes(root, args.videos, args.frames)
+    img = args.image
+    dcfg = DataConfig(ann_file=ann, img_prefix=prefix,
+                      scale=(img, img), canvas=(img, img),
+                      crop_size=0.68, flip_ratio=0.5,
+                      batch_size=args.batch,
+                      ship_uint8=args.ship_uint8)
+    ds = Gaze360ClipDataset(dcfg)
+    b, t = args.batch, dcfg.clip_length
+    frames_per_step = b * t
+
+    # ---- host roofline: decode + clip aug + stack, no device ----
+    stream = ds.batches(seed=1)
+    next(stream)                                 # warm caches
+    t0 = time.perf_counter()
+    for _ in range(args.roofline_iters):
+        next(stream)
+    dt = (time.perf_counter() - t0) / args.roofline_iters
+    roofline = frames_per_step / dt
+    print(json.dumps(dict(
+        mode='host_roofline', ms_per_batch=round(dt * 1e3, 1),
+        frames_per_sec=round(roofline, 1),
+        clips_per_sec=round(b / dt, 1))))
+    if args.roofline_only:
+        return 0
+
+    # ---- e2e: decode-ahead prefetch + H2D + donated step ----
+    for dtype in args.dtypes:
+        cfg = ModelConfig(dtype=dtype)
+        oc = OptimConfig()
+        state = create_train_state(cfg, oc, jax.random.PRNGKey(0),
+                                   image_size=(img, img))
+        step = make_train_step(cfg, oc)
+        prefetched = device_put_batches(ds.batches(seed=2), None)
+        try:
+            for _ in range(args.warmup):
+                state, logs = step(state, next(prefetched))
+            float(logs['loss'])                  # drain warmup work
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                state, logs = step(state, next(prefetched))
+            loss = float(logs['loss'])           # one completion barrier
+            dt = (time.perf_counter() - t0) / args.iters
+        finally:
+            prefetched.close()
+        fps = frames_per_step / dt
+        print(json.dumps(dict(
+            mode='train_e2e', dtype=dtype,
+            ms_per_step=round(dt * 1e3, 1),
+            frames_per_sec=round(fps, 1),
+            clips_per_sec=round(b / dt, 1),
+            pct_of_host_roofline=round(100 * fps / roofline, 1),
+            loss=round(loss, 4))))
+    return 0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--batch', type=int, default=32)
+    ap.add_argument('--image', type=int, default=224)
+    ap.add_argument('--iters', type=int, default=10)
+    ap.add_argument('--warmup', type=int, default=2)
+    ap.add_argument('--dtypes', nargs='+',
+                    default=['float32', 'bfloat16'])
+    ap.add_argument('--e2e', action='store_true')
+    ap.add_argument('--videos', type=int, default=8)
+    ap.add_argument('--frames', type=int, default=56)
+    ap.add_argument('--roofline-iters', type=int, default=5)
+    ap.add_argument('--roofline-only', action='store_true')
+    ap.add_argument('--ship-uint8', action='store_true',
+                    help='with --e2e: raw u8 batches + in-step '
+                         'normalization (DataConfig.ship_uint8) — 4x '
+                         'less H2D per batch')
+    args = ap.parse_args()
+    if args.e2e:
+        return bench_e2e(args)
+    return bench_compiled_step(args)
 
 
 if __name__ == '__main__':
