@@ -29,6 +29,8 @@ import subprocess
 import sys
 import textwrap
 
+sys.path.insert(0, osp.dirname(osp.dirname(osp.dirname(osp.abspath(__file__)))))
+
 import numpy as np
 
 REPO = osp.join(osp.dirname(osp.abspath(__file__)), '..', '..')

@@ -31,6 +31,8 @@ import re
 import subprocess
 import sys
 
+sys.path.insert(0, osp.dirname(osp.dirname(osp.dirname(osp.abspath(__file__)))))
+
 import cv2
 import numpy as np
 

@@ -14,7 +14,10 @@ reference's tools/analysis_tools/eval_metric.py pattern).
 """
 import argparse
 import json
+import os.path as osp
 import sys
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 import numpy as np
 

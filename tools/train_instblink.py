@@ -10,7 +10,10 @@ same generic mmcv runner; this CLI drives the jitted query train step,
 train/query_loop.py).
 """
 import argparse
+import os.path as osp
 import sys
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 import numpy as np
 
