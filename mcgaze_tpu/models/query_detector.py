@@ -130,7 +130,10 @@ class GenericSTQIHead(nn.Module):
     def __call__(self, roi_feat, query, clip_length):
         """roi_feat: (N*Q, S, S, C); query: (N, Q, C); N = B*T.
         Returns (cls_logits (N, Q, num_classes), deltas (N, Q, 4),
-        obj_feat (N, Q, C))."""
+        obj_feat (N, Q, C), attn_feat (N, Q, C)) — attn_feat is the
+        post-spatio-temporal-attention, pre-DynamicConv feature the
+        reference hands to the blink head (stqi_head.py:74 returns it;
+        instblink_roi_head.py:121,137 threads it to _blink_forward)."""
         n, nq, c = query.shape
         t = clip_length
         b = n // t
@@ -145,6 +148,7 @@ class GenericSTQIHead(nn.Module):
         q = q.reshape(b, t, nq, c).transpose(0, 2, 1, 3).reshape(b * nq, t, c)
         q = attn_norm(attn(q))
         q = q.reshape(b, nq, t, c).transpose(0, 2, 1, 3).reshape(n, nq, c)
+        attn_feat = q
 
         # (c) DynamicConv instance interaction + residual + LN
         flat_q = q.reshape(n * nq, c)
@@ -171,7 +175,7 @@ class GenericSTQIHead(nn.Module):
                                   n, nq, self.num_classes)
         deltas = nn.Dense(4, dtype=self.dtype,
                           name='fc_reg')(reg_feat).reshape(n, nq, 4)
-        return cls_logits, deltas, obj.reshape(n, nq, c)
+        return cls_logits, deltas, obj.reshape(n, nq, c), attn_feat
 
 
 class BlinkHead(nn.Module):
@@ -283,14 +287,18 @@ class QueryDetector(nn.Module):
                     finest_scale=cfg.finest_scale)
             roi_feat = roi_feat.reshape(n * q, cfg.roi_size, cfg.roi_size,
                                         cfg.channels)
-            cls_logits, deltas, obj = self.bbox_head[stage](
+            cls_logits, deltas, obj, attn_feat = self.bbox_head[stage](
                 roi_feat, query, t)
             boxes = delta2bbox(rois, deltas.astype(jnp.float32))
             out = dict(cls_logits=cls_logits.astype(jnp.float32),
                        boxes=boxes)
             if cfg.with_blink:
+                # the reference blinks on the POST-ATTENTION feature, not
+                # the post-DynamicConv obj_feat (instblink_roi_head.py:121
+                # unpacks attn_feats; :149-153 _blink_forward consumes it
+                # in both train and test)
                 out['blink_logits'] = self.blink_head[stage](
-                    obj).astype(jnp.float32)
+                    attn_feat).astype(jnp.float32)
             stages_out.append(out)
             query = obj
 

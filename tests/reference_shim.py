@@ -484,6 +484,12 @@ def _install_mmcv():
     cnn.constant_init = lambda m, val, bias=0: None
     cnn.normal_init = lambda m, mean=0, std=1, bias=0: None
     cnn.kaiming_init = lambda m, **kw: None
+    cnn.trunc_normal_init = lambda m, **kw: None
+    cnn.Conv2d = nn.Conv2d
+    cnn.build_upsample_layer = _never_called('build_upsample_layer')
+    cnn_utils = _pkg('mmcv.cnn.utils')
+    weight_init = _pkg('mmcv.cnn.utils.weight_init')
+    weight_init.trunc_normal_ = torch.nn.init.trunc_normal_
 
     bricks = _pkg('mmcv.cnn.bricks')
     brick_reg = _pkg('mmcv.cnn.bricks.registry')
@@ -493,9 +499,42 @@ def _install_mmcv():
                'CONV_LAYERS', 'PLUGIN_LAYERS'):
         setattr(brick_reg, rn, Registry(rn.lower()))
 
+    drop_mod = _pkg('mmcv.cnn.bricks.drop')
+
+    class DropPath(nn.Module):
+        """mmcv.cnn.bricks.drop.DropPath (stochastic depth): per-sample
+        bernoulli(keep) mask over dim 0, kept samples scaled 1/keep;
+        identity at eval or drop_prob 0."""
+
+        def __init__(self, drop_prob=0.1):
+            super().__init__()
+            self.drop_prob = drop_prob
+
+        def forward(self, x):
+            if self.drop_prob == 0. or not self.training:
+                return x
+            keep = 1.0 - self.drop_prob
+            shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+            mask = x.new_empty(shape).bernoulli_(keep)
+            return x * mask / keep
+
+    def build_dropout(cfg, **default_args):
+        if cfg is None:
+            return nn.Identity()
+        cfg = dict(cfg)
+        kind = cfg.pop('type')
+        if kind == 'DropPath':
+            return DropPath(**cfg)
+        assert kind == 'Dropout', kind
+        return nn.Dropout(cfg.get('drop_prob', 0.))
+
+    drop_mod.DropPath = DropPath
+    drop_mod.build_dropout = build_dropout
+
     transformer = _pkg('mmcv.cnn.bricks.transformer')
     transformer.MultiheadAttention = MultiheadAttention
     transformer.FFN = FFN
+    transformer.build_dropout = build_dropout
 
     class BaseTransformerLayer(BaseModule):
         pass
@@ -519,6 +558,8 @@ def _install_mmcv():
     runner.Sequential = Sequential
     runner.auto_fp16 = _identity_decorator_factory
     runner.force_fp32 = _identity_decorator_factory
+    runner._load_checkpoint = _never_called('_load_checkpoint')
+    runner.load_state_dict = _never_called('mmcv load_state_dict')
     base_module = _pkg('mmcv.runner.base_module')
     base_module.BaseModule = BaseModule
     base_module.ModuleList = ModuleList
@@ -690,7 +731,38 @@ def install():
     _imp('mmdet.models.detectors.queryinst')
     detector = _imp('mmdet.models.detectors.multiclue_gaze')
 
+    # --- TeViT / InstBlink family (the fork's sibling models) ---
+    import logging
+
+    mmdet.digit_version = lambda s: tuple(
+        int(p) for p in s.split('.') if p.isdigit())
+    mmdet.mmcv_version = mmdet.digit_version('1.5.0')   # >= 1.3.17 path
+    sys.modules['mmdet.utils'].get_root_logger = (
+        lambda *a, **k: logging.getLogger('mmdet'))
+    ckpt_convert = _imp('mmdet.models.utils.ckpt_convert')
+    mu.pvt_convert = ckpt_convert.pvt_convert
+    mu.nchw_to_nlc = ref_transformer.nchw_to_nlc
+    mu.nlc_to_nchw = ref_transformer.nlc_to_nchw
+    msgshift = _imp('mmdet.models.backbones.msgshift')
+    dii = _imp('mmdet.models.roi_heads.bbox_heads.dii_head')
+    sys.modules['mmdet.models.roi_heads.bbox_heads'].DIIHead = dii.DIIHead
+    stqi = _imp('mmdet.models.roi_heads.bbox_heads.stqi_head')
+    blink = _imp('mmdet.models.roi_heads.mask_heads.blink_head')
+    instblink_roi = _imp('mmdet.models.roi_heads.instblink_roi_head')
+    tevit_roi = _imp('mmdet.models.roi_heads.tevit_roi_head')
+    tevit_det = _imp('mmdet.models.detectors.tevit')
+    instblink_det = _imp('mmdet.models.detectors.instblink')
+
     ns = types.SimpleNamespace(
+        MsgShifTBase=msgshift.MsgShifTBase,
+        MsgShifT=msgshift.MsgShifT,
+        DIIHead=dii.DIIHead,
+        STQIHead=stqi.STQIHead,
+        BlinkHead=blink.BlinkHead,
+        InstBlinkRoIHead=instblink_roi.InstBlinkRoIHead,
+        TeViTRoIHead=tevit_roi.TeViTRoIHead,
+        TeViT=tevit_det.TeViT,
+        InstBlink=instblink_det.InstBlink,
         build_detector=models_builder.build_detector,
         build_loss=models_builder.build_loss,
         DynamicConv=ref_transformer.DynamicConv,

@@ -78,6 +78,7 @@ def torch_generic_stqi_stage(sd, query, roi_feat, stage=0):
     x = torch_mha(sd, f'{tb}.attention.attn', x)
     x = torch_ln(sd, f'{tb}.attention_norm', x)
     x = x.reshape(B, Q, T, C).permute(0, 2, 1, 3).reshape(N, Q, C)
+    attn_feat = x                  # stqi_head.py:74 attn_feats return
 
     # DynamicConv (transformer.py:1116-1164)
     dc = f'{tb}.instance_interactive_conv'
@@ -104,7 +105,7 @@ def torch_generic_stqi_stage(sd, query, roi_feat, stage=0):
     cls_logits = torch_linear(sd, f'{tb}.fc_cls',
                               cls_feat).reshape(N, Q, CFG.num_classes)
     deltas = torch_linear(sd, f'{tb}.fc_reg', reg_feat).reshape(N, Q, 4)
-    return cls_logits, deltas, obj.reshape(N, Q, C)
+    return cls_logits, deltas, obj.reshape(N, Q, C), attn_feat
 
 
 def torch_blink_head(sd, obj, stage=0):
@@ -123,7 +124,7 @@ def test_generic_stqi_stage_matches_torch(query_variables, stage):
     query = rng.randn(N, Q, C).astype(np.float32)
     roi = rng.randn(N * Q, S, S, C).astype(np.float32)
 
-    t_cls, t_deltas, t_obj = torch_generic_stqi_stage(
+    t_cls, t_deltas, t_obj, t_attn = torch_generic_stqi_stage(
         sd, torch.from_numpy(query), torch.from_numpy(roi), stage)
 
     head = GenericSTQIHead(
@@ -132,7 +133,7 @@ def test_generic_stqi_stage_matches_torch(query_variables, stage):
         num_classes=CFG.num_classes, num_cls_fcs=CFG.num_cls_fcs,
         num_reg_fcs=CFG.num_reg_fcs)
     p = variables['params'][f'bbox_head_{stage}']
-    j_cls, j_deltas, j_obj = head.apply(
+    j_cls, j_deltas, j_obj, j_attn = head.apply(
         {'params': p}, jnp.asarray(roi), jnp.asarray(query), T)
 
     np.testing.assert_allclose(np.asarray(j_cls), t_cls.detach().numpy(),
@@ -141,6 +142,8 @@ def test_generic_stqi_stage_matches_torch(query_variables, stage):
                                t_deltas.detach().numpy(),
                                rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(j_obj), t_obj.detach().numpy(),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(j_attn), t_attn.detach().numpy(),
                                rtol=2e-5, atol=2e-5)
 
 
