@@ -49,6 +49,12 @@ class InstBlinkEvalConfig:
     # to slim result files for human inspection.
     score_threshold: float = 0.0
     blink_threshold: float = 0.5
+    # stride windows forwarded per device launch when the forward_fn
+    # exposes a `.batched` variant (tools/test_instblink.py builds one
+    # from topk_tracks_batched): chunks pad to the next pow2 so every
+    # video reuses a handful of compiled shapes — the same discipline as
+    # the gaze driver's EvalConfig.clip_batch
+    clip_batch: int = 8
 
 
 def clip_windows(num_frames: int, clip_len: int, stride: int):
@@ -82,12 +88,41 @@ def _pairwise_frame_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 class InstBlinkVideoEvaluator:
     """forward_fn(imgs (T, H, W, 3), whwh (T, 4)) -> dict with
     scores (K,), labels (K,), boxes (T, K, 4) xyxy, blink (T, K)
-    (= topk_tracks output forced to numpy)."""
+    (= topk_tracks output forced to numpy).
+
+    When forward_fn also has a `.batched(imgs (Kq*T, H, W, 3),
+    whwh (Kq*T, 4), kq)` attribute returning the topk_tracks_batched
+    layout (leading dim Kq), run_video forwards cfg.clip_batch windows
+    per launch; linking/stitching stay per-window on host."""
 
     def __init__(self, forward_fn: Callable,
                  cfg: InstBlinkEvalConfig = InstBlinkEvalConfig()):
         self.forward = forward_fn
         self.cfg = cfg
+
+    def _forward_windows(self, frames, whwh, windows, t):
+        """One output dict per window (scores (K,), labels (K,),
+        boxes (T, K, 4), blink (T, K) if the model has a blink head)."""
+        batched = getattr(self.forward, 'batched', None)
+        if batched is None or len(windows) == 1:
+            return [self.forward(frames[s:s + t], whwh[s:s + t])
+                    for s, _ in windows]
+        outs = []
+        cb = max(self.cfg.clip_batch, 1)
+        starts = [s for s, _ in windows]
+        for i in range(0, len(starts), cb):
+            chunk = starts[i:i + cb]
+            k = len(chunk)
+            # pad to pow2 with repeats of the last window: few compiled
+            # shapes per (kp, t), padded outputs dropped below
+            kp = 1 if k <= 1 else 1 << (k - 1).bit_length()
+            padded = chunk + [chunk[-1]] * (kp - k)
+            sel = np.concatenate([np.arange(s, s + t) for s in padded])
+            out = batched(frames[sel], whwh[sel], kp)
+            for j in range(k):
+                outs.append({
+                    key: val[j] for key, val in out.items()})
+        return outs
 
     def run_video(self, frames_preprocessed, whwh, scale_factors,
                   video_id: int) -> list:
@@ -108,13 +143,15 @@ class InstBlinkVideoEvaluator:
         scores_acc = [[] for _ in range(k)]
         labels_acc = [[] for _ in range(k)]
 
+        window_outs = self._forward_windows(
+            frames_preprocessed, whwh, windows, t)
+
         prev_boxes = None          # (K, T, 4) previous clip, video coords
         prev_start = 0
         order = np.arange(k)       # clip-track -> video-track mapping
         has_blink = False          # TeViT (with_blink=False) emits none
-        for start, overlap in windows:
+        for (start, overlap), out in zip(windows, window_outs):
             sl = slice(start, start + t)
-            out = self.forward(frames_preprocessed[sl], whwh[sl])
             boxes = np.asarray(out['boxes'])                 # (T, K, 4)
             # back to original-resolution coords (rescale=True semantics,
             # instblink_roi_head.py:377-379)

@@ -343,6 +343,32 @@ def topk_tracks(stage_out: dict, clip_length: int, max_per_img: int,
     return out
 
 
+def topk_tracks_batched(stage_out: dict, b: int, clip_length: int,
+                        max_per_img: int, num_classes: int):
+    """topk_tracks over a BATCH of b clips in one program (leading dim
+    N = b*clip_length) — the eval driver packs several stride windows
+    per launch instead of one (instblink_roi_head.py:351-383 semantics
+    per clip, unchanged).
+
+    Returns dict(scores (b, K), labels (b, K), boxes (b, T, K, 4),
+                 query_idx (b, K), blink (b, T, K) if present)."""
+    t, k = clip_length, max_per_img
+    cls = jax.nn.sigmoid(stage_out['cls_logits'])          # (b*T, Q, C)
+    q = cls.shape[1]
+    mean_scores = cls.reshape(b, t, q * num_classes).mean(1)
+    scores, flat_idx = jax.lax.top_k(mean_scores, k)       # (b, K)
+    qi = flat_idx // num_classes
+    labels = flat_idx % num_classes
+    boxes = stage_out['boxes'].reshape(b, t, q, 4)
+    boxes = jnp.take_along_axis(boxes, qi[:, None, :, None], axis=2)
+    out = dict(scores=scores, labels=labels, boxes=boxes, query_idx=qi)
+    if 'blink_logits' in stage_out:
+        blink = jax.nn.sigmoid(
+            stage_out['blink_logits']).reshape(b, t, q)
+        out['blink'] = jnp.take_along_axis(blink, qi[:, None, :], axis=2)
+    return out
+
+
 def init_query_model(cfg: QueryDetectorConfig, rng: jax.Array,
                      image_size=(360, 640)):
     """Init params with dummy shapes (one clip). Returns (model, vars)."""

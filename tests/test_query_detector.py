@@ -224,3 +224,98 @@ def test_blink_loss_sign_rewards_high_score_on_blink():
     low = loss_blink(aligned)
     high = loss_blink(-aligned)
     assert low < 0.1 * high, (low, high)
+
+
+def test_topk_tracks_batched_matches_single(tiny_model):
+    """topk_tracks_batched over b packed clips == topk_tracks per clip
+    (same instblink_roi_head.py:351-383 math, vectorized for the
+    clip_batch eval driver)."""
+    from mcgaze_tpu.models.query_detector import topk_tracks_batched
+
+    model, variables = tiny_model
+    b, t = 3, TINY.clip_length
+    batch = _batch(b, TINY, seed=5)
+    out = jax.jit(lambda v, i, w: model.apply(v, i, w, clip_length=t))(
+        variables, batch['imgs'], batch['whwh'])
+    last = out['stages'][-1]
+
+    got = topk_tracks_batched(last, b, t, TINY.max_per_img,
+                              TINY.num_classes)
+    for i in range(b):
+        single = topk_tracks(
+            {k: v[i * t:(i + 1) * t] for k, v in last.items()}, t,
+            TINY.max_per_img, TINY.num_classes)
+        for key in single:
+            np.testing.assert_allclose(
+                np.asarray(got[key][i]), np.asarray(single[key]),
+                rtol=1e-6, atol=1e-6, err_msg=f'clip {i} {key}')
+
+
+def test_driver_batched_windows_match_serial(tiny_model):
+    """InstBlinkVideoEvaluator with a .batched forward (clip_batch
+    windows per launch, pow2 padding) emits exactly the serial
+    per-window results."""
+    from functools import partial
+
+    from mcgaze_tpu.evaluation.instblink_driver import (
+        InstBlinkEvalConfig, InstBlinkVideoEvaluator)
+    from mcgaze_tpu.models.query_detector import topk_tracks_batched
+
+    model, variables = tiny_model
+    t = TINY.clip_length
+    f, h, w = 8, 64, 96
+    rng = np.random.RandomState(9)
+    frames = rng.randn(f, h, w, 3).astype(np.float32) * 0.1
+    whwh = np.tile(np.asarray([[w, h, w, h]], np.float32), (f, 1))
+    sfs = np.ones((f, 4), np.float32)
+
+    @jax.jit
+    def fwd(imgs, whwh_):
+        out = model.apply(variables, imgs, whwh_, clip_length=t)
+        return topk_tracks(out['stages'][-1], t, TINY.max_per_img,
+                           TINY.num_classes)
+
+    @partial(jax.jit, static_argnames='kq')
+    def fwd_batched(imgs, whwh_, kq):
+        out = model.apply(variables, imgs, whwh_, clip_length=t)
+        return topk_tracks_batched(out['stages'][-1], kq, t,
+                                   TINY.max_per_img, TINY.num_classes)
+
+    def serial_np(imgs, whwh_):
+        return {k: np.asarray(v) for k, v in
+                fwd(jnp.asarray(imgs), jnp.asarray(whwh_)).items()}
+
+    def batched_np(imgs, whwh_, kq):
+        return {k: np.asarray(v) for k, v in
+                fwd_batched(jnp.asarray(imgs), jnp.asarray(whwh_),
+                            kq).items()}
+
+    cfg = InstBlinkEvalConfig(clip_length=t, overlap=1, max_per_img=4,
+                              clip_batch=2)
+    serial = InstBlinkVideoEvaluator(serial_np, cfg).run_video(
+        frames, whwh, sfs, video_id=1)
+
+    serial_np.batched = batched_np   # type: ignore[attr-defined]
+    batched = InstBlinkVideoEvaluator(serial_np, cfg).run_video(
+        frames, whwh, sfs, video_id=1)
+
+    # tolerances: the batched program is a different XLA compilation
+    # (B=2/4 vs B=1), so bilinear RoI + 6-stage accumulation reassociates
+    # — observed ~1e-4 absolute on ~300 px box coords
+    assert len(serial) == len(batched) > 0
+    for a, b_ in zip(serial, batched):
+        assert a.keys() == b_.keys()
+        for key in a:
+            if key == 'bboxes':
+                for fa, fb in zip(a[key], b_[key]):
+                    if fa is None or fb is None:
+                        assert fa is None and fb is None
+                    else:
+                        np.testing.assert_allclose(fa, fb, rtol=1e-4,
+                                                   atol=5e-3)
+            elif isinstance(a[key], list):
+                np.testing.assert_allclose(a[key], b_[key], rtol=1e-4,
+                                           atol=1e-4)
+            else:
+                assert a[key] == pytest.approx(b_[key], rel=1e-4,
+                                               abs=1e-6)

@@ -102,9 +102,12 @@ def main():
     from mcgaze_tpu.data.instblink_dataset import InstBlinkClipDataset
     from mcgaze_tpu.evaluation.instblink_driver import (
         InstBlinkVideoEvaluator)
+    from functools import partial
+
     from mcgaze_tpu.models.query_detector import (QueryDetector,
                                                   init_query_model,
-                                                  topk_tracks)
+                                                  topk_tracks,
+                                                  topk_tracks_batched)
     from mcgaze_tpu.utils.checkpoint import restore_checkpoint
     from mcgaze_tpu.utils.query_config import load_query_config
 
@@ -131,9 +134,22 @@ def main():
         return topk_tracks(out['stages'][-1], imgs.shape[0],
                            mc.max_per_img, mc.num_classes)
 
+    @partial(jax.jit, static_argnames='kq')
+    def fwd_batched(imgs, whwh, kq):
+        t = imgs.shape[0] // kq
+        out = model.apply(variables, imgs, whwh, clip_length=t)
+        return topk_tracks_batched(out['stages'][-1], kq, t,
+                                   mc.max_per_img, mc.num_classes)
+
     def forward_np(imgs, whwh):
         out = fwd(jnp.asarray(imgs), jnp.asarray(whwh))
         return {k: np.asarray(v) for k, v in out.items()}
+
+    def batched_np(imgs, whwh, kq):
+        out = fwd_batched(jnp.asarray(imgs), jnp.asarray(whwh), kq)
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    forward_np.batched = batched_np
 
     ds = InstBlinkClipDataset(cfg.data_test)
     evaluator = InstBlinkVideoEvaluator(forward_np, cfg.eval_cfg)
