@@ -37,10 +37,21 @@ def host_compile_cache_key() -> str:
     return hashlib.sha1(blob.encode()).hexdigest()[:10]
 
 
-def host_cache_dir(base: str | None = None) -> str:
-    """Default persistent compile-cache dir, keyed per host type."""
+def host_cache_dir(base: str | None = None,
+                   platform: str | None = None) -> str:
+    """Default persistent compile-cache dir.
+
+    Host-CPU-keyed ONLY for the CPU platform: XLA:CPU AOT entries embed
+    the compile machine's ISA features (the SIGILL hazard above), but
+    TPU executables are independent of the host CPU — keying those by
+    host would orphan every cached multi-minute model compile whenever
+    the tunnel lands on a different frontend machine. `platform` is the
+    configured JAX platform string ('' / None = plugin default = TPU
+    here)."""
     base = base or os.path.expanduser('~/.cache/mcgaze_tpu/jax')
-    return os.path.join(base, f'host-{host_compile_cache_key()}')
+    if platform and 'cpu' in platform:
+        return os.path.join(base, f'host-{host_compile_cache_key()}')
+    return base
 
 
 def setup_jax_platform() -> None:
@@ -55,7 +66,8 @@ def setup_jax_platform() -> None:
     multi-minute model compiles entirely."""
     if not os.environ.get('MCGAZE_NO_COMPILE_CACHE'):
         cache = os.environ.get('JAX_COMPILATION_CACHE_DIR',
-                               host_cache_dir())
+                               host_cache_dir(
+                                   platform=os.environ.get('JAX_PLATFORMS')))
         try:
             os.makedirs(cache, exist_ok=True)
             import jax

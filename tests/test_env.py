@@ -36,11 +36,19 @@ def test_setup_threads_noop():
 
 
 def test_host_compile_cache_key_stable_and_keyed():
+    """CPU-platform cache dirs are host-feature-keyed (XLA:CPU AOT
+    entries embed ISA features — SIGILL hazard across machine types);
+    TPU dirs are NOT keyed (TPU executables are host-CPU-independent,
+    and keying them orphans every cached multi-minute model compile
+    whenever the tunnel frontend changes)."""
     from mcgaze_tpu.utils.env import host_cache_dir, host_compile_cache_key
     k1, k2 = host_compile_cache_key(), host_compile_cache_key()
     assert k1 == k2 and len(k1) == 10 and k1.isalnum()
-    d = host_cache_dir('/some/base')
+    d = host_cache_dir('/some/base', platform='cpu')
     assert d == f'/some/base/host-{k1}'
-    # conftest wired the pytest cache through the same keying
+    for tpu_platform in (None, '', 'axon', 'tpu'):
+        assert host_cache_dir('/some/base', platform=tpu_platform) == \
+            '/some/base'
+    # conftest wired the pytest (CPU) cache through the same keying
     import os
     assert os.environ['JAX_COMPILATION_CACHE_DIR'].endswith(f'host-{k1}')

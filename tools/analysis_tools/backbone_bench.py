@@ -28,6 +28,9 @@ def main():
     ap.add_argument('--dtype', default='bfloat16')
     args = ap.parse_args()
 
+    from mcgaze_tpu.utils.env import setup_jax_platform
+    setup_jax_platform()      # platform + persistent compile cache
+
     import jax
     import jax.numpy as jnp
 

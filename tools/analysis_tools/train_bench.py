@@ -212,6 +212,9 @@ def main():
                          'normalization (DataConfig.ship_uint8) — 4x '
                          'less H2D per batch')
     args = ap.parse_args()
+
+    from mcgaze_tpu.utils.env import setup_jax_platform
+    setup_jax_platform()      # platform + persistent compile cache
     if args.e2e:
         return bench_e2e(args)
     return bench_compiled_step(args)
