@@ -44,13 +44,21 @@ class BatchPrefetcher:
                 for batch in batches:
                     if self._stop.is_set():
                         return
+                    # put_fn runs ONCE per batch, outside the retry loop:
+                    # re-running jax.device_put on every 0.1s queue-Full
+                    # retry leaked a fresh device batch per retry — ~10
+                    # transfers/s whenever the consumer stalls (the first
+                    # train-step compile stalls it for MINUTES), observed
+                    # as a 130 GB host OOM on the bench host
+                    value = self._put(batch)
                     while True:                     # interruptible put
                         try:
-                            self._q.put(self._put(batch), timeout=0.1)
+                            self._q.put(value, timeout=0.1)
                             break
                         except queue.Full:
                             if self._stop.is_set():
                                 return
+                    del value
             except BaseException as e:              # propagate to consumer
                 self._err = e
             finally:

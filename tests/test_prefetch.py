@@ -79,3 +79,41 @@ def test_prefetcher_close_joins_producer():
     assert not it._thread.is_alive()
     with pytest.raises(StopIteration):
         next(it)
+
+
+def test_put_fn_runs_once_per_batch_when_consumer_stalls():
+    """Regression: the interruptible-put retry loop must not re-run
+    put_fn on every queue-Full retry — with jax.device_put as put_fn
+    that leaked a fresh device batch ~10x/s while the consumer sat in
+    the first train-step compile (observed as a 130 GB OOM on the
+    1-core bench host)."""
+    import itertools
+    import threading
+    import time
+
+    from mcgaze_tpu.data.prefetch import BatchPrefetcher
+
+    calls = []
+    started = threading.Event()
+
+    def put_fn(batch):
+        calls.append(batch['i'])
+        started.set()
+        return batch
+
+    pf = BatchPrefetcher(({'i': i} for i in itertools.count()),
+                         put_fn, prefetch=2)
+    try:
+        assert started.wait(5.0)
+        # consumer stalls: queue fills (2) + one batch held in the
+        # producer's put-retry loop. Give the old bug ~15 retry windows.
+        time.sleep(1.5)
+        assert next(pf)['i'] == 0
+        time.sleep(0.5)
+        # <= 4 distinct put_fn runs (2 queued + 1 in retry + 1 refill
+        # after the consume); the buggy version logged dozens of
+        # duplicates of batch 2 here
+        assert calls == sorted(set(calls)), calls   # no duplicates at all
+        assert len(calls) <= 4, calls
+    finally:
+        pf.close()
