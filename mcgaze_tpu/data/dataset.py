@@ -43,9 +43,12 @@ class DataConfig:
     # Ship raw uint8 training frames and normalize inside the train step
     # (4x less H2D per batch — 135 MB -> 34 MB at the reference's
     # 32x7x224px batch; identical numerics, the eval path's
-    # EvalConfig.ship_uint8 applied to training). Needs the native
-    # loader; the python fallback ignores it.
-    ship_uint8: bool = False
+    # EvalConfig.ship_uint8 applied to training). Default ON, like the
+    # eval path: measured 138.4 vs 73.6 frames/s sustained e2e on the
+    # 1-core bench host (104% vs 60% of the decode roofline), identical
+    # loss stream (tests/test_native_dataset.py pins batch equality).
+    # Needs the native loader; the python fallback ignores it.
+    ship_uint8: bool = True
 
 
 

@@ -21,8 +21,13 @@ def cfg_on_disk(tmp_path_factory):
 
 
 def test_native_batches_match_python(cfg_on_disk):
-    ds_native = Gaze360ClipDataset(cfg_on_disk, seed=3, use_native=True)
-    ds_python = Gaze360ClipDataset(cfg_on_disk, seed=3, use_native=False)
+    # like-for-like f32 pipelines (ship_uint8 defaults ON and only the
+    # native loader honors it; its equality proof is the dedicated
+    # test_ship_uint8_train_batches_match_f32 below)
+    import dataclasses
+    cfg = dataclasses.replace(cfg_on_disk, ship_uint8=False)
+    ds_native = Gaze360ClipDataset(cfg, seed=3, use_native=True)
+    ds_python = Gaze360ClipDataset(cfg, seed=3, use_native=False)
     assert ds_native._native is not None and ds_python._native is None
     it_n = ds_native.batches(seed=5)
     it_p = ds_python.batches(seed=5)
@@ -146,7 +151,8 @@ def test_ship_uint8_train_batches_match_f32(cfg_on_disk):
 
     if not native_available():
         pytest.skip('native loader unavailable')
-    ds_f32 = Gaze360ClipDataset(cfg_on_disk, seed=3)
+    ds_f32 = Gaze360ClipDataset(
+        dataclasses.replace(cfg_on_disk, ship_uint8=False), seed=3)
     ds_u8 = Gaze360ClipDataset(
         dataclasses.replace(cfg_on_disk, ship_uint8=True), seed=3)
     a = next(ds_f32.batches(batch_size=2, seed=9))

@@ -207,10 +207,13 @@ def main():
     ap.add_argument('--frames', type=int, default=56)
     ap.add_argument('--roofline-iters', type=int, default=5)
     ap.add_argument('--roofline-only', action='store_true')
-    ap.add_argument('--ship-uint8', action='store_true',
+    ap.add_argument('--ship-uint8', action=argparse.BooleanOptionalAction,
+                    default=True,
                     help='with --e2e: raw u8 batches + in-step '
-                         'normalization (DataConfig.ship_uint8) — 4x '
-                         'less H2D per batch')
+                         'normalization (DataConfig.ship_uint8, the '
+                         'default) — 4x less H2D per batch; '
+                         '--no-ship-uint8 measures the host-normalized '
+                         'f32 path')
     args = ap.parse_args()
 
     from mcgaze_tpu.utils.env import setup_jax_platform
