@@ -224,3 +224,40 @@ def test_blink_head_matches_reference_code(ns, query_pair):
                                atol=2e-5)
     chained = BlinkHead(C).apply(p, jnp.asarray(feats))
     assert np.abs(np.asarray(chained) - want).max() > 1e-4
+
+
+def test_blink_loss_matches_reference_code(ns):
+    """Execute the reference's BlinkHead.loss (blink_head.py:119-134 —
+    the real mmdet FocalLoss CPU path + the `1 - blink_targets` line)
+    and pin that our probability-target focal reproduces it EXACTLY:
+    mmcv one-hots integer labels with label 0 as the positive class, so
+    `1 - targets` is label ENCODING (blink=1 -> label 0 -> positive),
+    not a semantic flip — the interpretation train/query_criterion.py
+    documents and the burn-in once caught getting wrong."""
+    import jax.numpy as jnp
+
+    from mcgaze_tpu.ops import losses as L
+
+    head = ns.BlinkHead(in_channels=C)
+    rng = np.random.RandomState(21)
+    p = 37                                    # positive samples
+    pred = torch.from_numpy(rng.randn(p, 1).astype(np.float32))
+    blinks = torch.from_numpy(
+        (rng.rand(p) < 0.3).astype(np.int64))  # 1 = blink
+
+    ref = head.loss(pred, blinks)['loss_blink'].item()
+
+    ours = float(5.0 * L.sigmoid_focal_loss(
+        jnp.asarray(pred.numpy().reshape(-1)),
+        jnp.asarray(blinks.numpy().astype(np.float32)),
+        gamma=2.0, alpha=0.25, avg_factor=float(p)))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5)
+
+    # and get_targets (blink_head.py:136-146) is a pos-index gather
+    class _Res:
+        def __init__(self, idx):
+            self.pos_assigned_gt_inds = torch.as_tensor(idx)
+
+    gt = [torch.tensor([0., 1., 1.]), torch.tensor([1., 0.])]
+    got = head.get_targets([_Res([2, 0]), _Res([1])], gt, None)
+    np.testing.assert_array_equal(got.numpy(), [1., 0., 0.])
