@@ -66,6 +66,172 @@ def _axis_weights_grid(lo_c: jnp.ndarray, hi_c: jnp.ndarray, size: int,
     return w / sampling_ratio
 
 
+def _axis_weights_rows(lo_col, bin_col, idx_col, size: int,
+                       sampling_ratio: int):
+    """Vectorized bilinear rows for MANY (roi, bin) rows at once.
+
+    lo_col/bin_col/idx_col: (M, 1) per-row start coord, bin size and bin
+    index. Returns (M, size) — same math as _axis_weights_grid but with
+    the per-RoI python loop replaced by row broadcasting, so one op
+    chain covers every RoI of the chunk (the unrolled kernel emits one
+    chain per RoI, which is what capped it at ~16 RoIs/step)."""
+    m = lo_col.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (m, size), 1).astype(
+        jnp.float32)
+    w = jnp.zeros((m, size), jnp.float32)
+    for k in range(sampling_ratio):
+        coord = lo_col + (idx_col + (k + 0.5) / sampling_ratio) * bin_col
+        valid = (coord >= -1.0) & (coord <= float(size))
+        vc = jnp.maximum(coord, 0.0)
+        lo = jnp.floor(vc)
+        degenerate = lo >= float(size - 1)
+        lo = jnp.minimum(lo, float(size - 1))
+        hi = jnp.minimum(lo + 1.0, float(size - 1))
+        frac = jnp.where(degenerate, 0.0, vc - lo)
+        wk = ((iota == lo) * (1.0 - frac) + (iota == hi) * frac)
+        w = w + wk * valid
+    return w / sampling_ratio
+
+
+def _make_kernel_vec(num_rois: int, out_size: int, sampling_ratio: int,
+                     strides: tuple, sizes: tuple, channels: int,
+                     finest_scale: float, acc_dtype, group: int = 0):
+    """Vectorized kernel body for large RoI chunks (the query family).
+
+    Differences vs _make_kernel (measured on the unrolled body at the
+    InstBlink shape — NOTES.md round-4 item 7 kernel follow-up):
+      * weights for all R RoIs are built in ONE vectorized op chain
+        (rois read from VMEM as vectors, not SMEM scalars), so Mosaic's
+        per-RoI code-size blowup — what made R=20/25 chunks SLOWER than
+        R=10 and R>=50 fail to lower — is gone;
+      * the first contraction is i-major (rows ordered bin-then-roi), so
+        after the sublane unflatten each output row i owns a CONTIGUOUS
+        (R*W, C) slab of t;
+      * the second contraction runs in block-diagonal GROUPS of `group`
+        RoIs: out_size*(R/G) dots of (G*7, G*W) @ (G*W, C) instead of
+        R*7*out_size tiny (7, W)@(W, C) dots — G trades a G-fold FLOP
+        inflation (each group row carries (G-1)*W exact-zero weights)
+        against a G*7-fold cut in MXU issue count. group=0 means G=R
+        (one dot per output row, maximum inflation); group=1 keeps the
+        unrolled body's FLOP count while still building weights
+        vectorized.
+    Numerics are identical in structure (f32 accumulation, bf16 weight
+    cast, routing mask folded into AY; the block-diag rows only add
+    exact zeros to the x-contraction).
+
+    MEASURED NEGATIVE (kept opt-in; v5e, 4400 RoIs at the InstBlink
+    384x640 bf16 pyramid, 2026-08-19): the unrolled body at R=10 chunks
+    runs 12.87 ms; this body loses at every (cap, group) swept —
+    g=1: 17.53/17.21/16.71/18.67 ms at cap 10/20/25/50; g=2: 18.14/
+    17.97 (cap 10/20); g=5: 19.16/18.49 (cap 10/25); g=R: 21.76/25.56/
+    36.75 (cap 10/20/25). Full-group cost scales with the G-fold
+    x-FLOP inflation, and even g=1 (identical dot structure to the
+    unrolled body) pays ~35% for the wide weight build + VMEM box
+    reads, so the per-RoI scalar chains are NOT the unrolled body's
+    cost center. What this body does buy: R=50 chunks COMPILE (the
+    unrolled body's Mosaic lowering fails beyond ~25), so it is the
+    fallback if a caller ever needs giant per-step chunks.
+    """
+    num_levels = len(strides)
+    r7 = num_rois * out_size
+    group = group or num_rois
+    assert num_rois % group == 0, (num_rois, group)
+    n_groups = num_rois // group
+
+    def kernel(rois_ref, *refs):
+        feat_refs = refs[:num_levels]
+        out_ref = refs[num_levels]
+
+        boxes = rois_ref[0]                       # (R, 4) f32, VMEM
+        x1 = boxes[:, 0:1]
+        y1 = boxes[:, 1:2]
+        x2 = boxes[:, 2:3]
+        y2 = boxes[:, 3:4]
+        area = jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0)
+        v = jnp.sqrt(area) / finest_scale + 1e-6  # (R, 1)
+
+        # row indices shared by every level
+        i_rows = (jax.lax.broadcasted_iota(jnp.int32, (r7, 1), 0)
+                  // num_rois).astype(jnp.float32)     # AY i-major
+        j_rows = (jax.lax.broadcasted_iota(jnp.int32, (r7, 1), 0)
+                  % out_size).astype(jnp.float32)      # BD r-major
+
+        acc = [None] * (n_groups * out_size)
+        for li in range(num_levels):
+            h_l, w_l = sizes[li]
+            stride = float(strides[li])
+            lo_m = 2.0 ** li
+            hi_m = 2.0 ** (li + 1)
+            mask = (v >= lo_m) & (v < hi_m)
+            if li == 0:
+                mask = v < hi_m
+            if li == num_levels - 1:
+                mask = v >= lo_m
+            mask = mask.astype(jnp.float32)            # (R, 1)
+
+            # AY, i-major rows (i*R + r): tile puts r fastest
+            y_lo = y1 / stride - 0.5
+            y_bin = (y2 / stride - 0.5 - y_lo) / out_size
+            ay = _axis_weights_rows(
+                jnp.tile(y_lo, (out_size, 1)),
+                jnp.tile(y_bin, (out_size, 1)),
+                i_rows, h_l, sampling_ratio)
+            # level routing folded into AY exactly as the unrolled
+            # kernel does (a RoI contributes from one level only)
+            ay = ay * jnp.tile(mask, (out_size, 1))
+
+            f = feat_refs[li][0].reshape(h_l, w_l * channels)
+            t = jnp.dot(ay.astype(f.dtype), f,
+                        preferred_element_type=acc_dtype).astype(f.dtype)
+            t2 = t.reshape(r7 * w_l, channels)
+
+            # block-diagonal AX: rows (r, j) j-fastest, cols (r % G, w).
+            # Row r*out+j of group g = r//G carries ax[r, j] at columns
+            # (r % G)*W + w; a group's rows/slabs are contiguous because
+            # rows are r-major and t2 is i-major.
+            x_lo = jnp.repeat(x1 / stride - 0.5, out_size, axis=0)
+            x_bin = jnp.repeat((x2 - x1) / stride / out_size, out_size,
+                               axis=0)
+            col_i = jax.lax.broadcasted_iota(jnp.int32,
+                                             (r7, group * w_l), 1)
+            w_idx = (col_i % w_l).astype(jnp.float32)
+            band = (col_i // w_l) == (jax.lax.broadcasted_iota(
+                jnp.int32, (r7, group * w_l), 0) // out_size) % group
+            bd = jnp.zeros((r7, group * w_l), jnp.float32)
+            for k in range(sampling_ratio):
+                coord = x_lo + (j_rows + (k + 0.5) / sampling_ratio) \
+                    * x_bin
+                valid = (coord >= -1.0) & (coord <= float(w_l))
+                vc = jnp.maximum(coord, 0.0)
+                lo = jnp.floor(vc)
+                degenerate = lo >= float(w_l - 1)
+                lo = jnp.minimum(lo, float(w_l - 1))
+                hi = jnp.minimum(lo + 1.0, float(w_l - 1))
+                frac = jnp.where(degenerate, 0.0, vc - lo)
+                wk = ((w_idx == lo) * (1.0 - frac) + (w_idx == hi) * frac)
+                bd = bd + wk * valid
+            bd = (bd / sampling_ratio) * band.astype(jnp.float32)
+            bd = bd.astype(f.dtype)
+
+            for g in range(n_groups):
+                bd_g = bd[g * group * out_size:(g + 1) * group * out_size]
+                for i in range(out_size):
+                    lo_row = (i * num_rois + g * group) * w_l
+                    slab = t2[lo_row:lo_row + group * w_l, :]
+                    o = jnp.dot(bd_g, slab,
+                                preferred_element_type=acc_dtype)
+                    k = g * out_size + i
+                    acc[k] = o if acc[k] is None else acc[k] + o
+
+        for g in range(n_groups):
+            for i in range(out_size):
+                out_ref[0, g * group:(g + 1) * group, i, :, :] = \
+                    acc[g * out_size + i].reshape(
+                        group, out_size, channels).astype(out_ref.dtype)
+
+    return kernel
+
+
 def _make_kernel(num_rois: int, out_size: int, sampling_ratio: int,
                  strides: tuple, sizes: tuple, channels: int,
                  finest_scale: float, acc_dtype):
@@ -153,21 +319,37 @@ _VMEM_BLOCK_BUDGET = 10 * 1024 * 1024
 # chunking branch in roi_align_fpn_pallas).
 _MAX_ROIS_PER_STEP = 16
 
+# Chunk cap when the vectorized body is explicitly requested: it has no
+# per-RoI code blowup, so its cap is a VMEM bound (the t f32 temp scales
+# with R; R=50 compiles at the InstBlink pyramid, R=10/20/25 all
+# measured), not a Mosaic lowering bound. The unrolled body stays the
+# default at EVERY RoI count — the vec body measured slower across the
+# whole (cap, group) sweep (see _make_kernel_vec docstring).
+_MAX_ROIS_PER_STEP_VEC = 20
 
-def _step_vmem_bytes(sizes, cc, r, out_size, itemsize):
+
+def _step_vmem_bytes(sizes, cc, r, out_size, itemsize, vec=False,
+                     vec_group=0):
     """Estimate of one grid step's scoped-VMEM use: double-buffered
     pyramid blocks + the kernel's f32 contraction temporaries (the
     (R*out, W*CC) row blocks — these scale with R, so the query family's
     R=10 chunks cost ~6x the gaze path's R=3 at the same pyramid) + the
     double-buffered out block. Calibrated against observed Mosaic stack
     allocations (which run ~1.3x this estimate — the params decision
-    below doubles it)."""
+    below doubles it). The vectorized body adds the (R*out, R*W)
+    block-diagonal x-weight build (f32 + cast copy) and the per-i f32
+    accumulators."""
     cells = sum(h * w for (h, w) in sizes)
     blocks = cells * cc * itemsize * 2
     max_w = max(w for (_, w) in sizes)
     temp = r * out_size * max_w * cc * 4 * 2
     out_blk = r * out_size * out_size * cc * itemsize * 2
-    return blocks + temp + out_blk
+    extra = 0
+    if vec:
+        g = vec_group or r
+        extra = (r * out_size * g * max_w * (4 + itemsize)
+                 + out_size * r * out_size * cc * 4)
+    return blocks + temp + out_blk + extra
 
 
 def _channel_chunk(sizes, c, itemsize):
@@ -193,7 +375,8 @@ def _channel_chunk(sizes, c, itemsize):
 
 @partial(jax.jit, static_argnames=('out_size', 'sampling_ratio',
                                    'strides', 'finest_scale', 'interpret',
-                                   'channel_chunk'))
+                                   'channel_chunk', 'vectorized',
+                                   'chunk_cap', 'vec_group'))
 def roi_align_fpn_pallas(feats: tuple,
                          rois: jnp.ndarray,
                          out_size: int = 7,
@@ -202,7 +385,10 @@ def roi_align_fpn_pallas(feats: tuple,
                          finest_scale: float = 56.0,
                          frame_idx: jnp.ndarray | None = None,
                          interpret: bool = False,
-                         channel_chunk: int | None = None) -> jnp.ndarray:
+                         channel_chunk: int | None = None,
+                         vectorized: bool | None = None,
+                         chunk_cap: int | None = None,
+                         vec_group: int | None = None) -> jnp.ndarray:
     """Drop-in replacement for roi_align_fpn_mm (same signature/semantics).
 
     feats: tuple of L arrays (U, H_l, W_l, C) NHWC; rois: (N, R, 4) xyxy.
@@ -219,7 +405,17 @@ def roi_align_fpn_pallas(feats: tuple,
     largest chunk fitting VMEM (_channel_chunk — C itself except at
     448 px+, where the pyramid block must be split). When chunked, the
     grid is (chunks, frames) with frames INNERMOST so the consecutive-
-    slot refetch-skip above still applies within each chunk sweep."""
+    slot refetch-skip above still applies within each chunk sweep.
+
+    vectorized: use the all-RoI vectorized kernel body (_make_kernel_vec)
+    instead of the per-RoI unrolled one. Opt-in only: the unrolled body
+    measured faster at every swept (chunk_cap, vec_group), including the
+    query family's R=100 loads — see _make_kernel_vec's docstring. The
+    vec body exists as the giant-chunk fallback (R>25 chunks compile).
+    chunk_cap: override the per-grid-step RoI cap (benchmarks only).
+    vec_group: block-diagonal group size for the vectorized body's
+    x-contraction (must divide the per-step RoI count; None = the full
+    chunk — see _make_kernel_vec)."""
     n = rois.shape[0]
     c = feats[0].shape[-1]
     r = rois.shape[1]
@@ -241,15 +437,17 @@ def roi_align_fpn_pallas(feats: tuple,
                                 strides=strides,
                                 finest_scale=finest_scale)
 
-    if r > _MAX_ROIS_PER_STEP:
-        # the kernel unrolls its per-RoI loops, so a 100-query grid step
-        # (TeViT/InstBlink) produces a kernel Mosaic cannot lower
-        # ('infer-vector-layout: unsupported shape cast'; measured: R<=25
-        # compiles, R=50 does not). Split the RoI axis across grid steps
-        # instead: consecutive steps keep the same frame index, so the
-        # pipeline's same-block refetch skip means the pyramid still
-        # crosses HBM once per frame.
-        k = max(d for d in range(1, _MAX_ROIS_PER_STEP + 1) if r % d == 0)
+    cap = chunk_cap or (_MAX_ROIS_PER_STEP_VEC if vectorized
+                        else _MAX_ROIS_PER_STEP)
+    if r > cap:
+        # a 100-query grid step (TeViT/InstBlink) either fails to lower
+        # (unrolled body: 'infer-vector-layout: unsupported shape cast'
+        # beyond R~25) or blows the VMEM budget on the (R*7, W*C) f32
+        # contraction temporary (vectorized body). Split the RoI axis
+        # across grid steps instead: consecutive steps keep the same
+        # frame index, so the pipeline's same-block refetch skip means
+        # the pyramid still crosses HBM once per frame.
+        k = max(d for d in range(1, cap + 1) if r % d == 0)
         if frame_idx is None:
             assert u == n, (u, n)
             frame_idx = jnp.arange(n, dtype=jnp.int32)
@@ -258,14 +456,22 @@ def roi_align_fpn_pallas(feats: tuple,
             sampling_ratio=sampling_ratio, strides=strides,
             finest_scale=finest_scale,
             frame_idx=jnp.repeat(frame_idx, r // k),
-            interpret=interpret, channel_chunk=channel_chunk)
+            interpret=interpret, channel_chunk=channel_chunk,
+            vectorized=vectorized, chunk_cap=chunk_cap,
+            vec_group=vec_group)
         return out.reshape(n, r, out_size, out_size, c)
 
     cc = channel_chunk or _channel_chunk(sizes, c, dtype.itemsize)
     assert c % cc == 0, (c, cc)
 
-    kernel = _make_kernel(r, out_size, sampling_ratio, strides, sizes, cc,
-                          finest_scale, jnp.float32)
+    use_vec = bool(vectorized)
+    if use_vec:
+        kernel = _make_kernel_vec(r, out_size, sampling_ratio, strides,
+                                  sizes, cc, finest_scale, jnp.float32,
+                                  group=vec_group or 0)
+    else:
+        kernel = _make_kernel(r, out_size, sampling_ratio, strides, sizes,
+                              cc, finest_scale, jnp.float32)
 
     if frame_idx is None:
         assert u == n, (u, n)
@@ -273,6 +479,10 @@ def roi_align_fpn_pallas(feats: tuple,
 
     def _k(fidx_ref, *refs):
         kernel(*refs)
+
+    # the unrolled body reads per-RoI scalars (SMEM); the vectorized
+    # body reads the boxes as (R, 4) vectors (VMEM)
+    rois_space = pltpu.VMEM if use_vec else pltpu.SMEM
 
     if cc == c:
         # single chunk (224 px and every training shape): 1-D grid over
@@ -286,7 +496,7 @@ def roi_align_fpn_pallas(feats: tuple,
             num_scalar_prefetch=1,
             grid=(n,),
             in_specs=[pl.BlockSpec((1, r, 4), lambda i, fidx: (i, 0, 0),
-                                   memory_space=pltpu.SMEM)] + [
+                                   memory_space=rois_space)] + [
                 pl.BlockSpec((1, h, w * c),
                              lambda i, fidx: (fidx[i], 0, 0),
                              memory_space=pltpu.VMEM)
@@ -305,7 +515,7 @@ def roi_align_fpn_pallas(feats: tuple,
             grid=(c // cc, n),
             in_specs=[pl.BlockSpec((1, r, 4),
                                    lambda j, i, fidx: (i, 0, 0),
-                                   memory_space=pltpu.SMEM)] + [
+                                   memory_space=rois_space)] + [
                 pl.BlockSpec((1, h, w, cc),
                              lambda j, i, fidx: (fidx[i], 0, 0, j),
                              memory_space=pltpu.VMEM)
@@ -320,7 +530,8 @@ def roi_align_fpn_pallas(feats: tuple,
     # real VMEM either way; v5e has 128 MiB). The estimate runs ~30%
     # under Mosaic's actual stack allocation (17.9M estimated vs 22.92M
     # observed at the InstBlink 384x640 R=10 cc=128 shape), hence the 2x.
-    step_bytes = _step_vmem_bytes(sizes, cc, r, out_size, dtype.itemsize)
+    step_bytes = _step_vmem_bytes(sizes, cc, r, out_size, dtype.itemsize,
+                                  vec=use_vec, vec_group=vec_group or 0)
     params = None
     if step_bytes > _VMEM_BLOCK_BUDGET and not interpret:
         params = pltpu.CompilerParams(

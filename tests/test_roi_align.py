@@ -316,3 +316,64 @@ def test_pallas_roi_chunking_matches_mm(nq):
     a = np.asarray(roi_align_fpn_mm(feats, rois))
     b = np.asarray(roi_align_fpn_pallas(feats, rois, interpret=True))
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize('cap,group', [(10, None), (20, None), (10, 1),
+                                       (10, 2), (20, 4)])
+def test_pallas_vectorized_body_matches_mm(cap, group):
+    """The vectorized kernel body (_make_kernel_vec — all-RoI weight
+    build, i-major first contraction, grouped block-diagonal second
+    contraction) against the mm formulation and the unrolled body at the
+    query-family RoI count. The block-diag rows add exact zeros only, so
+    all three must agree to float tolerance at every (cap, group)."""
+    from mcgaze_tpu.ops.roi_align import roi_align_fpn_mm
+    from mcgaze_tpu.ops.roi_align_pallas import roi_align_fpn_pallas
+    rng = np.random.RandomState(7)
+    feats = make_pyramid(rng, n=2, c=8, base=32)
+    nq = 100
+    rois = np.zeros((2, nq, 4), np.float32)
+    for n in range(2):
+        for r in range(nq):
+            x1 = rng.uniform(-10, 100)
+            y1 = rng.uniform(-10, 100)
+            s = rng.uniform(10, 300)
+            rois[n, r] = [x1, y1, x1 + s * rng.uniform(0.5, 1.5), y1 + s]
+    a = np.asarray(roi_align_fpn_mm(feats, rois))
+    b = np.asarray(roi_align_fpn_pallas(feats, rois, interpret=True,
+                                        vectorized=True, chunk_cap=cap,
+                                        vec_group=group))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+    if (cap, group) == (10, None):
+        # unrolled body at the same chunking: same math, but
+        # the block-diag contraction sums R*W terms per output (the
+        # unrolled one sums W), so f32 rounding differs at ~7e-6
+        u = np.asarray(roi_align_fpn_pallas(feats, rois, interpret=True,
+                                            vectorized=False,
+                                            chunk_cap=cap))
+        np.testing.assert_allclose(u, b, rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_vectorized_frame_idx_matches_gather():
+    """Vectorized body + scalar-prefetch frame dedup (the query family's
+    eval path: overlapping stride windows share frames)."""
+    import jax.numpy as jnp
+
+    from mcgaze_tpu.ops.roi_align_pallas import roi_align_fpn_pallas
+    rng = np.random.RandomState(11)
+    feats = make_pyramid(rng, n=3, c=8, base=32)
+    fidx = np.array([0, 1, 1, 2], np.int32)
+    nq = 20
+    rois = np.zeros((4, nq, 4), np.float32)
+    for n in range(4):
+        for r in range(nq):
+            x1 = rng.uniform(-10, 100)
+            y1 = rng.uniform(-10, 100)
+            s = rng.uniform(10, 300)
+            rois[n, r] = [x1, y1, x1 + s * rng.uniform(0.5, 1.5), y1 + s]
+    gathered = tuple(np.asarray(f)[fidx] for f in feats)
+    a = np.asarray(roi_align_fpn_pallas(gathered, rois, interpret=True,
+                                        vectorized=True))
+    b = np.asarray(roi_align_fpn_pallas(
+        feats, rois, frame_idx=jnp.asarray(fidx), interpret=True,
+        vectorized=True))
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
