@@ -92,6 +92,12 @@ def main():
         'unit': 'clips/s',
         'vs_baseline': round(video_cps / 125.0, 3),
         'independent_clips_per_sec': round(indep_cps, 2),
+        # tunnel-state probe: median device->host readback latency of a
+        # tiny array. The bench platform's D2H varies ~6x with shared
+        # tunnel load (27 ms round 3 -> ~170 ms observed round 5), which
+        # dominates the e2e metrics' un-hidden tail; this makes rounds
+        # comparable at a glance.
+        'd2h_rtt_ms': _d2h_rtt_ms(),
     }
 
     # ---- pipelined END-TO-END frames/s (decode -> preprocess -> H2D ->
@@ -99,13 +105,20 @@ def main():
     # eval settings, so the round artifact tracks host-path progress,
     # not just the device-only rate (round-3 verdict weak #4). Each is
     # best-effort: a failure records the error, not a dead artifact.
+    # Raw e2e frames/s is HOST-LOAD-SENSITIVE on this shared 1-core box
+    # (r04 recorded 101.9 @224 vs 143.2 quiet-host — pure load noise);
+    # the attainment ratio (e2e / same-run decode roofline) is the
+    # load-invariant number to compare across rounds (round-4 verdict
+    # weak #3), the host-path analogue of vs_baseline.
     if not args.skip_e2e:
         for px, nvid, nframes, crop in ((224, 8, 56, 0.84),
                                         (448, 6, 40, None)):
             key = f'e2e_frames_per_sec_{px}'
             try:
-                out[key] = round(
-                    _measure_e2e(cfg, px, nvid, nframes, crop), 1)
+                e2e, roofline = _measure_e2e(cfg, px, nvid, nframes, crop)
+                out[key] = round(e2e, 1)
+                out[f'e2e_decode_roofline_{px}'] = round(roofline, 1)
+                out[f'e2e_attainment_{px}'] = round(e2e / roofline, 3)
             except Exception as e:          # noqa: BLE001
                 out[key] = None
                 out[key + '_error'] = f'{type(e).__name__}: {e}'[:200]
@@ -120,15 +133,48 @@ def main():
         except Exception as e:              # noqa: BLE001
             out['instblink_clips_per_sec'] = None
             out['instblink_error'] = f'{type(e).__name__}: {e}'[:200]
+        # family e2e (decode -> u8 ship -> pipelined windows -> packed
+        # readback, tools/test_instblink.py flow) + same-run roofline
+        if not args.skip_e2e:
+            try:
+                e2e, roofline = _measure_instblink_e2e(args)
+                out['instblink_e2e_frames_per_sec'] = round(e2e, 1)
+                out['instblink_e2e_decode_roofline'] = round(roofline, 1)
+                out['instblink_e2e_attainment'] = round(e2e / roofline, 3)
+            except Exception as e:          # noqa: BLE001
+                out['instblink_e2e_frames_per_sec'] = None
+                out['instblink_e2e_error'] = f'{type(e).__name__}: {e}'[:200]
 
     print(json.dumps(out))
     return 0
 
 
+def _d2h_rtt_ms(n: int = 5):
+    """Median device->host readback latency of a 4 KiB array (pure
+    tunnel RTT — the transfer itself is negligible at this size)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    x = jax.device_put(jnp.zeros((1024,), jnp.float32))
+    jax.block_until_ready(x)
+    ts = []
+    for _ in range(n):
+        y = x + 1.0
+        jax.block_until_ready(y)
+        t0 = time.perf_counter()
+        np.asarray(y)
+        ts.append((time.perf_counter() - t0) * 1000)
+    return round(float(np.median(ts)), 1)
+
+
 def _measure_e2e(cfg, px, num_videos, frames, crop_ratio):
     """Fabricated PNG videos -> pipelined run_videos_from_paths; returns
-    sustained frames/s (same flow as tools/analysis_tools/benchmark.py
-    --e2e, sized to keep the round artifact cheap)."""
+    (sustained frames/s, same-run decode-only roofline frames/s) — same
+    flow as tools/analysis_tools/benchmark.py --e2e / --decode-only,
+    sized to keep the round artifact cheap. Measuring the roofline in
+    the SAME run makes attainment load-invariant on the shared host."""
     import os
     import os.path as osp
     import tempfile
@@ -167,7 +213,70 @@ def _measure_e2e(cfg, px, num_videos, frames, crop_ratio):
     results = list(ev.run_videos_from_paths(iter(videos)))
     dt = time.perf_counter() - t0
     assert len(results) == num_videos
-    return num_videos * frames / dt
+    # same-run decode-only roofline over the same videos (decoder warm
+    # from the e2e pass): what the host input path alone sustains
+    t0 = time.perf_counter()
+    for vid, paths in videos:
+        ev._decode_video(paths, vid)
+    roofline = num_videos * frames / (time.perf_counter() - t0)
+    return num_videos * frames / dt, roofline
+
+
+def _measure_instblink_e2e(args, num_videos=4, frames=33):
+    """Pipelined family eval over fabricated 640x360 rawframes (the
+    MPEblink release size): C++ pool decode -> u8 ship -> window-batched
+    forward on the chip -> one packed readback per video
+    (evaluation/instblink_driver.py::run_videos_from_paths). Returns
+    (frames/s, same-run decode roofline frames/s)."""
+    import os
+    import os.path as osp
+    import tempfile
+    import time
+
+    import cv2
+    import jax
+
+    from mcgaze_tpu.data.instblink_dataset import InstBlinkDataConfig
+    from mcgaze_tpu.evaluation.forward import (bind_query_forward,
+                                               make_query_eval_forward)
+    from mcgaze_tpu.evaluation.instblink_driver import (
+        InstBlinkEvalConfig, InstBlinkVideoEvaluator)
+    from mcgaze_tpu.models.query_detector import (QueryDetectorConfig,
+                                                  init_query_model)
+
+    rng = np.random.RandomState(0)
+    root = tempfile.mkdtemp(prefix='bench_ib_e2e_')
+    videos = []
+    for vid in range(num_videos):
+        d = osp.join(root, f'{vid:03d}')
+        os.makedirs(d)
+        paths = []
+        for f in range(frames):
+            p = osp.join(d, f'{f:05d}.png')
+            img = cv2.GaussianBlur(
+                rng.randint(0, 255, (360, 640, 3), np.uint8), (0, 0), 3.0)
+            cv2.imwrite(p, img)
+            paths.append(p)
+        videos.append((vid, paths))
+
+    qcfg = QueryDetectorConfig(dtype=args.dtype)
+    dc = InstBlinkDataConfig(keep_ratio=False)    # test pipeline warp
+    model, variables = init_query_model(qcfg, jax.random.PRNGKey(0),
+                                        image_size=dc.canvas)
+    fwd, fwd_batched = make_query_eval_forward(model, qcfg)
+    forward = bind_query_forward(fwd, fwd_batched, variables)
+    ev = InstBlinkVideoEvaluator(forward, InstBlinkEvalConfig(),
+                                 data_cfg=dc)
+    list(ev.run_videos_from_paths(videos[:1]))     # warm compiles
+    t0 = time.perf_counter()
+    results = list(ev.run_videos_from_paths(iter(videos)))
+    dt = time.perf_counter() - t0
+    assert len(results) == num_videos
+    t0 = time.perf_counter()
+    for vid, paths in videos:
+        ev._decode_video(paths)
+    roofline = num_videos * frames / (time.perf_counter() - t0)
+    return num_videos * frames / dt, roofline
 
 
 def _measure_instblink(args, chain):

@@ -52,6 +52,13 @@ class InstBlinkDataConfig:
     with_blinks: bool = True                 # False -> YouTubeVIS layout
     blink_sampled: bool = False              # blink_sampled.py oversampling
     keep_ratio: bool = True                  # False = test-time exact warp
+    # Ship raw uint8 training frames and normalize inside the train step
+    # (4x less H2D; train/query_loop.py normalizes via device_normalize,
+    # identical numerics up to the 1-ULP XLA reciprocal-multiply fold).
+    # Off by default so existing consumers keep f32 batches; the e2e
+    # train bench measures both (tools/analysis_tools/train_bench.py
+    # --family query).
+    ship_uint8: bool = False
 
 
 class InstBlinkClipDataset:
@@ -172,8 +179,9 @@ class InstBlinkClipDataset:
         t = cfg.clip_length
         flip = bool(self.rng.rand() < cfg.flip_ratio)
         boxes, labels, present, valid, blinks = self._track_gt(vid_id, clip)
+        img_dtype = np.uint8 if cfg.ship_uint8 else np.float32
         out = dict(
-            imgs=np.zeros((t, *cfg.canvas, 3), np.float32),
+            imgs=np.zeros((t, *cfg.canvas, 3), img_dtype),
             whwh=np.zeros((t, 4), np.float32),
             gt_labels=labels.astype(np.int32),
             gt_present=present,
@@ -187,7 +195,8 @@ class InstBlinkClipDataset:
             if flip:
                 img, frame_boxes, _ = T.hflip(img, frame_boxes, None)
             h, w = img.shape[:2]
-            out['imgs'][fi] = T.pad_to_canvas(T.normalize(img), cfg.canvas)
+            out['imgs'][fi] = T.pad_to_canvas(
+                img if cfg.ship_uint8 else T.normalize(img), cfg.canvas)
             out['whwh'][fi] = [w, h, w, h]
             gt_boxes[:, fi] = frame_boxes
         out['gt_boxes'] = gt_boxes * present[..., None]

@@ -76,6 +76,9 @@ class NativeClipLoader:
             self._has_u8 = True
         except AttributeError:      # stale pre-u8 build of the .so
             self._has_u8 = False
+        # exact-warp (keep_ratio=False) capability probe — the
+        # InstBlink/TeViT test pipeline's Resize
+        self._has_warp = hasattr(lib, 'mcg_has_warp')
         self._lib = lib
         self._pool = lib.mcg_pool_create(n_threads)
 
@@ -85,19 +88,35 @@ class NativeClipLoader:
             self._lib.mcg_pool_destroy(pool)
             self._pool = None
 
+    def _encode_scale(self, scale, keep_ratio):
+        """keep_ratio=False rides the negative-scale exact-warp encoding
+        (clip_loader.cpp::LoadOne); gated on the mcg_has_warp probe so a
+        stale .so never misreads it."""
+        if keep_ratio:
+            return scale
+        if not self._has_warp:
+            raise RuntimeError(
+                'libmcgaze_loader.so predates exact-warp (keep_ratio='
+                'False); rebuild with `make -C native`')
+        return (-abs(int(scale[0])), -abs(int(scale[1])))
+
     def load(self, paths: Sequence[str],
              crop_ratios: Optional[Sequence[float]],
              flips: Optional[Sequence[bool]],
              scale: Tuple[int, int],
              canvas: Tuple[int, int],
-             out: Optional[np.ndarray] = None):
+             out: Optional[np.ndarray] = None,
+             keep_ratio: bool = True):
         """Decode+augment `paths` in parallel.
 
         crop_ratios: per-frame center-crop ratio (<=0 or None = no crop).
-        scale: (w, h) resize target (keep-ratio). canvas: (H, W) pad size.
+        scale: (w, h) resize target (keep-ratio fit, or the exact warp
+        target when keep_ratio=False — the InstBlink/TeViT test
+        pipeline's Resize). canvas: (H, W) pad size.
         Returns (imgs (N, H, W, 3) float32, meta (N, 6) int32
         [orig_h, orig_w, crop_h, crop_w, new_h, new_w]).
         """
+        scale = self._encode_scale(scale, keep_ratio)
         n = len(paths)
         ch, cw = canvas
         if out is None:
@@ -130,10 +149,12 @@ class NativeClipLoader:
                 flips: Optional[Sequence[bool]],
                 scale: Tuple[int, int],
                 canvas: Tuple[int, int],
-                out: Optional[np.ndarray] = None):
+                out: Optional[np.ndarray] = None,
+                keep_ratio: bool = True):
         """Like load() but emits RAW uint8 padded frames (no
         normalization) — 4x fewer bytes to ship when the consumer
         normalizes on-device inside its jit."""
+        scale = self._encode_scale(scale, keep_ratio)
         if not self._has_u8:
             raise RuntimeError('libmcgaze_loader.so predates the uint8 '
                                'entry point; rebuild with `make -C native`')

@@ -90,6 +90,76 @@ def make_eval_forward(model_cfg, canvas=(224, 224), init_variables=True):
     return model, variables, fwd, fwd_dedup
 
 
+def make_query_eval_forward(model, mc):
+    """Query-family (InstBlink/TeViT) analogue of make_eval_forward:
+    (fwd, fwd_batched) with on-device u8 normalization and top-k track
+    selection inside the jit (reference apis/test.py:81-135 +
+    instblink_roi_head.py:351-383).
+
+    fwd(variables, imgs (T,H,W,3) f32|u8, whwh (T,4)) -> topk_tracks dict
+    fwd_batched(variables, imgs (Kq*T,...), whwh, kq) -> batched layout
+    """
+    import jax
+    import jax.numpy as jnp   # noqa: F401  (kept for parity with fwd)
+
+    from ..models.query_detector import topk_tracks, topk_tracks_batched
+
+    @jax.jit
+    def fwd(variables, imgs, whwh):
+        imgs = device_normalize(imgs, whwh)
+        t = imgs.shape[0]
+        out = model.apply(variables, imgs, whwh, clip_length=t)
+        return topk_tracks(out['stages'][-1], t, mc.max_per_img,
+                           mc.num_classes)
+
+    @partial(jax.jit, static_argnames=('kq',))
+    def fwd_batched(variables, imgs, whwh, kq):
+        imgs = device_normalize(imgs, whwh)
+        t = imgs.shape[0] // kq
+        out = model.apply(variables, imgs, whwh, clip_length=t)
+        return topk_tracks_batched(out['stages'][-1], kq, t,
+                                   mc.max_per_img, mc.num_classes)
+
+    return fwd, fwd_batched
+
+
+def bind_query_forward(fwd, fwd_batched, variables):
+    """bind_forward for the query family: forward(imgs, whwh) -> device
+    track dict, with `.batched(imgs, whwh, kq)` attached and per-device
+    resident params (the same vars_for caching as bind_forward, so the
+    InstBlink driver can round-robin videos over jax.local_devices()).
+    Outputs stay DEVICE arrays — the driver packs one readback per
+    video (instblink_driver._submit_video)."""
+    import jax
+    import jax.numpy as jnp
+
+    dev_variables = {}
+
+    def vars_for(x):
+        devs = getattr(x, 'devices', None)
+        if devs is None:
+            return variables
+        try:
+            (dev,) = devs()
+        except (TypeError, ValueError):
+            return variables
+        if dev not in dev_variables:
+            dev_variables[dev] = jax.device_put(variables, dev)
+        return dev_variables[dev]
+
+    def forward(imgs, whwh):
+        return fwd(vars_for(imgs), jnp.asarray(imgs), jnp.asarray(whwh))
+
+    forward.accepts_uint8 = True
+
+    def batched(imgs, whwh, kq):
+        return fwd_batched(vars_for(imgs), jnp.asarray(imgs),
+                           jnp.asarray(whwh), kq)
+
+    forward.batched = batched
+    return forward
+
+
 def bind_forward(fwd, variables, fwd_dedup=None):
     """Close fwd over a fixed variables pytree (the VideoGazeEvaluator
     forward_fn signature). When fwd_dedup is given it is attached as

@@ -234,9 +234,24 @@ def _make_kernel_vec(num_rois: int, out_size: int, sampling_ratio: int,
 
 def _make_kernel(num_rois: int, out_size: int, sampling_ratio: int,
                  strides: tuple, sizes: tuple, channels: int,
-                 finest_scale: float, acc_dtype):
+                 finest_scale: float, acc_dtype, level_skip: bool = True):
     """channels here is the per-grid-step channel block (= C, or a chunk
-    of it when the pyramid is too large for VMEM — see _channel_chunk)."""
+    of it when the pyramid is too large for VMEM — see _channel_chunk).
+
+    level_skip (round 5): each level's whole contraction block runs
+    under a pl.when predicate — 'some RoI of this chunk routes here' —
+    computed from the SMEM box scalars. A RoI contributes from exactly
+    one level (the routing masks are disjoint), so the skipped levels
+    only ever added EXACT ZEROS to the accumulator (mask-zeroed AY →
+    t == 0 → o == 0); predicating them away changes no bits while
+    skipping up to 3 of 4 levels' y-contractions, weight builds and
+    lane→sublane relayouts per step. The wrapper sorts big RoI loads by
+    level (roi_align_fpn_pallas) so chunks are level-pure and the
+    predicate usually fires exactly once. Accumulation moves from a
+    python-list f32 acc to out_ref read-modify-write: the owner level
+    writes cast(o_owner), other executed levels add exact zeros —
+    bit-identical to cast(sum of one non-zero term).
+    """
     num_levels = len(strides)
 
     def kernel(rois_ref, *refs):
@@ -252,7 +267,7 @@ def _make_kernel(num_rois: int, out_size: int, sampling_ratio: int,
         areas = [jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0)
                  for (x1, y1, x2, y2) in boxes]
 
-        def routed(r, level):
+        def routed_bool(r, level):
             v = jnp.sqrt(areas[r]) / finest_scale + 1e-6
             lo = 2.0 ** level
             hi = 2.0 ** (level + 1)
@@ -261,17 +276,21 @@ def _make_kernel(num_rois: int, out_size: int, sampling_ratio: int,
                 m = v < hi
             if level == num_levels - 1:
                 m = v >= lo
-            return m.astype(jnp.float32)
+            return m
+
+        if level_skip:
+            out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
 
         acc = [None] * (num_rois * out_size)
-        for li in range(num_levels):
+
+        def level_block(li):
             h_l, w_l = sizes[li]
             stride = float(strides[li])
             ays = []
             axs = []
             for r in range(num_rois):
                 x1, y1, x2, y2 = boxes[r]
-                mask = routed(r, li)
+                mask = routed_bool(r, li).astype(jnp.float32)
                 ay = _axis_weights_grid(y1 / stride - 0.5,
                                         y2 / stride - 0.5,
                                         h_l, out_size, sampling_ratio)
@@ -298,11 +317,25 @@ def _make_kernel(num_rois: int, out_size: int, sampling_ratio: int,
                     row = t[k * w_l:(k + 1) * w_l, :]
                     o = jnp.dot(ax_r, row,
                                 preferred_element_type=acc_dtype)
-                    acc[k] = o if acc[k] is None else acc[k] + o
-        for r in range(num_rois):
-            for i in range(out_size):
-                out_ref[0, r, i, :, :] = acc[r * out_size + i].astype(
-                    out_ref.dtype)
+                    if level_skip:
+                        out_ref[0, r, i, :, :] += o.astype(out_ref.dtype)
+                    else:
+                        acc[k] = o if acc[k] is None else acc[k] + o
+
+        for li in range(num_levels):
+            if level_skip:
+                used = routed_bool(0, li)
+                for r in range(1, num_rois):
+                    used = used | routed_bool(r, li)
+                pl.when(used)(partial(level_block, li))
+            else:
+                level_block(li)
+
+        if not level_skip:
+            for r in range(num_rois):
+                for i in range(out_size):
+                    out_ref[0, r, i, :, :] = acc[r * out_size + i].astype(
+                        out_ref.dtype)
 
     return kernel
 
@@ -376,7 +409,8 @@ def _channel_chunk(sizes, c, itemsize):
 @partial(jax.jit, static_argnames=('out_size', 'sampling_ratio',
                                    'strides', 'finest_scale', 'interpret',
                                    'channel_chunk', 'vectorized',
-                                   'chunk_cap', 'vec_group'))
+                                   'chunk_cap', 'vec_group', 'level_skip',
+                                   'level_sort'))
 def roi_align_fpn_pallas(feats: tuple,
                          rois: jnp.ndarray,
                          out_size: int = 7,
@@ -388,7 +422,9 @@ def roi_align_fpn_pallas(feats: tuple,
                          channel_chunk: int | None = None,
                          vectorized: bool | None = None,
                          chunk_cap: int | None = None,
-                         vec_group: int | None = None) -> jnp.ndarray:
+                         vec_group: int | None = None,
+                         level_skip: bool = True,
+                         level_sort: bool = True) -> jnp.ndarray:
     """Drop-in replacement for roi_align_fpn_mm (same signature/semantics).
 
     feats: tuple of L arrays (U, H_l, W_l, C) NHWC; rois: (N, R, 4) xyxy.
@@ -415,7 +451,19 @@ def roi_align_fpn_pallas(feats: tuple,
     chunk_cap: override the per-grid-step RoI cap (benchmarks only).
     vec_group: block-diagonal group size for the vectorized body's
     x-contraction (must divide the per-step RoI count; None = the full
-    chunk — see _make_kernel_vec)."""
+    chunk — see _make_kernel_vec).
+    level_skip: predicate each level's contraction block on 'some RoI of
+    this chunk routes here' (pl.when over SMEM scalars) — bit-identical
+    output, skips the exact-zero levels (see _make_kernel). False = the
+    round-4 compute-all-levels body (A/B benchmarks).
+    level_sort: when the RoI axis is chunked (r > cap), stable-sort each
+    frame's RoIs by FPN level first and invert the permutation on the
+    output, so chunks are level-pure and level_skip usually executes
+    exactly ONE level per grid step. Pure reordering — the kernel's
+    per-RoI routing masks are unchanged, so this is exact regardless of
+    the predicate. mmcv does the same thing one abstraction up
+    (single_level_roi_extractor.py:57-75 gathers each level's RoIs and
+    runs that level's RoIAlign on only those)."""
     n = rois.shape[0]
     c = feats[0].shape[-1]
     r = rois.shape[1]
@@ -451,6 +499,13 @@ def roi_align_fpn_pallas(feats: tuple,
         if frame_idx is None:
             assert u == n, (u, n)
             frame_idx = jnp.arange(n, dtype=jnp.int32)
+        order = None
+        if level_sort:
+            from .roi_align import roi_levels
+            lv = roi_levels(rois, num_levels=len(strides),
+                            finest_scale=finest_scale)        # (n, r)
+            order = jnp.argsort(lv, axis=1, stable=True)
+            rois = jnp.take_along_axis(rois, order[..., None], axis=1)
         out = roi_align_fpn_pallas(
             feats, rois.reshape(n * (r // k), k, 4), out_size=out_size,
             sampling_ratio=sampling_ratio, strides=strides,
@@ -458,8 +513,14 @@ def roi_align_fpn_pallas(feats: tuple,
             frame_idx=jnp.repeat(frame_idx, r // k),
             interpret=interpret, channel_chunk=channel_chunk,
             vectorized=vectorized, chunk_cap=chunk_cap,
-            vec_group=vec_group)
-        return out.reshape(n, r, out_size, out_size, c)
+            vec_group=vec_group, level_skip=level_skip,
+            level_sort=False)
+        out = out.reshape(n, r, out_size, out_size, c)
+        if order is not None:
+            inv = jnp.argsort(order, axis=1, stable=True)
+            out = jnp.take_along_axis(
+                out, inv[..., None, None, None], axis=1)
+        return out
 
     cc = channel_chunk or _channel_chunk(sizes, c, dtype.itemsize)
     assert c % cc == 0, (c, cc)
@@ -471,7 +532,8 @@ def roi_align_fpn_pallas(feats: tuple,
                                   group=vec_group or 0)
     else:
         kernel = _make_kernel(r, out_size, sampling_ratio, strides, sizes,
-                              cc, finest_scale, jnp.float32)
+                              cc, finest_scale, jnp.float32,
+                              level_skip=level_skip)
 
     if frame_idx is None:
         assert u == n, (u, n)

@@ -56,7 +56,11 @@ def make_query_train_step(cfg: QueryDetectorConfig, oc: OptimConfig):
         if use_droppath:
             kwargs = dict(train=True, rngs={'droppath': jax.random.fold_in(
                 jax.random.PRNGKey(0x0d0b), step)})
-        out = model.apply(variables, batch['imgs'], batch['whwh'],
+        # raw-u8 batches normalize on device (identity for f32 —
+        # InstBlinkDataConfig.ship_uint8, 4x less H2D per batch)
+        from ..evaluation.forward import device_normalize
+        imgs = device_normalize(batch['imgs'], batch['whwh'])
+        out = model.apply(variables, imgs, batch['whwh'],
                           clip_length=t, **kwargs)
         return total_loss(cfg, out, batch, t)
 

@@ -64,25 +64,32 @@ def setup_jax_platform() -> None:
     per-host-type dir (override with JAX_COMPILATION_CACHE_DIR, disable
     with MCGAZE_NO_COMPILE_CACHE=1): repeat CLI invocations then skip the
     multi-minute model compiles entirely."""
+    platforms = os.environ.get('JAX_PLATFORMS')
+    if platforms:
+        import jax
+        if jax.config.jax_platforms != platforms:
+            try:
+                jax.config.update('jax_platforms', platforms)
+            except RuntimeError:
+                pass  # backend already initialised; keep active platform
     if not os.environ.get('MCGAZE_NO_COMPILE_CACHE'):
-        cache = os.environ.get('JAX_COMPILATION_CACHE_DIR',
-                               host_cache_dir(
-                                   platform=os.environ.get('JAX_PLATFORMS')))
+        cache = os.environ.get('JAX_COMPILATION_CACHE_DIR')
+        if not cache:
+            # key the cache dir on the RESOLVED backend, not the env var:
+            # with JAX_PLATFORMS unset and no TPU plugin, jax silently
+            # falls back to CPU, and XLA:CPU AOT entries in a non-host-
+            # keyed dir are the cross-machine SIGILL hazard (advisor
+            # round-4). default_backend() initialises the backend — fine
+            # here, the CLI is about to use it anyway, and the cache-dir
+            # config only needs to precede the first COMPILE.
+            import jax
+            cache = host_cache_dir(platform=jax.default_backend())
         try:
             os.makedirs(cache, exist_ok=True)
             import jax
             jax.config.update('jax_compilation_cache_dir', cache)
         except OSError:
             pass                       # unwritable cache dir: just skip
-    platforms = os.environ.get('JAX_PLATFORMS')
-    if platforms:
-        import jax
-        if jax.config.jax_platforms == platforms:
-            return
-        try:
-            jax.config.update('jax_platforms', platforms)
-        except RuntimeError:
-            pass     # backend already initialised; keep the active platform
 
 
 def setup_threads(num_threads: int | None = None) -> None:

@@ -111,6 +111,19 @@ class _TrackedDict(dict):
         self.consumed.add(key)
         return super().__getitem__(key)
 
+    # converters must read via sd[key] for tracking; cover the other
+    # read paths so a future converter using .get()/.pop() doesn't
+    # trigger false 'unexpected checkpoint tensors' warnings
+    def get(self, key, default=None):
+        if key in self:
+            self.consumed.add(key)
+        return super().get(key, default)
+
+    def pop(self, key, *default):
+        if key in self:
+            self.consumed.add(key)
+        return super().pop(key, *default)
+
 
 def _warn_unexpected(sd: '_TrackedDict', benign, what: str):
     """Warn (never raise) about unconsumed checkpoint keys; `benign`

@@ -125,7 +125,16 @@ bool LoadOne(const char* path, float crop_ratio, bool flip, int scale_w,
   meta[3] = img.cols;
 
   int new_w, new_h;
-  RescaleSize(img.rows, img.cols, scale_w, scale_h, &new_w, &new_h);
+  if (scale_w < 0) {
+    // exact-warp mode (keep_ratio=False, the InstBlink/TeViT test
+    // pipeline's Resize): negative scale encodes the target verbatim so
+    // the C ABI stays unchanged. native_loader.py only sends negatives
+    // after probing mcg_has_warp(), so a stale .so never sees them.
+    new_w = -scale_w;
+    new_h = -scale_h;
+  } else {
+    RescaleSize(img.rows, img.cols, scale_w, scale_h, &new_w, &new_h);
+  }
   cv::Mat resized;
   cv::resize(img, resized, cv::Size(new_w, new_h), 0, 0, cv::INTER_LINEAR);
   meta[4] = new_h;
@@ -218,5 +227,10 @@ int mcg_load_frames_u8(void* pool, int n, const char** paths,
   return LoadBatch(pool, n, paths, crop_ratios, flips, scale_w, scale_h,
                    canvas_h, canvas_w, nullptr, out, out_meta);
 }
+
+// Capability probe: a build that understands the negative-scale exact-
+// warp encoding exports this symbol; native_loader.py checks it before
+// sending keep_ratio=False loads (a stale .so falls back to Python).
+int mcg_has_warp(void) { return 1; }
 
 }  // extern "C"

@@ -29,7 +29,9 @@ from mcgaze_tpu.utils.env import host_compile_cache_key  # noqa: E402
 _CACHE = osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))),
                   '.cache', 'jax', f'host-{host_compile_cache_key()}')
 os.makedirs(_CACHE, exist_ok=True)
-os.environ['JAX_COMPILATION_CACHE_DIR'] = _CACHE
+# setdefault: an explicitly exported cache dir (user/CI) wins — the
+# host-keyed repo dir is only the default (advisor round-4)
+os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', _CACHE)
 
 import jax  # noqa: E402
 

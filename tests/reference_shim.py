@@ -29,6 +29,12 @@ Reference files EXECUTED (not replicated):
   mmdet/models/detectors/{base,two_stage,sparse_rcnn,queryinst,
                           multiclue_gaze}.py
 
+Trust note (advisor round-4): these oracle tests execute Python from
+/root/reference (public untrusted content) in the test runner's process.
+That is the point of the technique — the reference's behavior, not a
+replica, is the ground truth — and the tree is mounted read-only in this
+environment; do NOT point REF at a writable/unreviewed checkout.
+
 Stubbed (external deps, NOT reference logic): mmcv Registry/ConfigDict,
 BaseModule, build_norm/conv/activation_layer, ConvModule, the
 MultiheadAttention/FFN transformer bricks (thin wrappers over

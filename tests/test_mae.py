@@ -87,3 +87,40 @@ def test_l2cs_indexing_and_pitch_bucket():
     res = mae.gaze_error(videos, {'annotations': annos}, smooth=False,
                          l2cs=True)
     assert res['mae360'] == pytest.approx(90.0, abs=1e-4)
+
+
+def test_device_scorer_matches_numpy():
+    """evaluation/mae_device.py (jitted f32, all videos in one program)
+    vs the float64 numpy scorer: every bucket within 1e-3 deg, frame
+    counts exact — covers smoothing edges, a length-1 video (the T<2
+    passthrough), the l2cs pitch bucket, and no-smooth."""
+    from mcgaze_tpu.evaluation.mae_device import gaze_error_device
+
+    rng = np.random.RandomState(5)
+    videos, annos = [], []
+    for n in (7, 1, 12):        # incl. a single-frame video
+        gt = rng.randn(n, 3)
+        gt /= np.linalg.norm(gt, axis=1, keepdims=True)
+        noise = rng.randn(n, 3) * 0.05
+        pred = gt + noise
+        pred /= np.linalg.norm(pred, axis=1, keepdims=True)
+        videos.append({'fusion_gazes': pred.tolist()})
+        annos.append({'gaze': gt.tolist()})
+    anno_data = {'annotations': annos}
+
+    for smooth in (True, False):
+        a = mae.gaze_error(videos, anno_data, smooth=smooth)
+        b = gaze_error_device(videos, anno_data, smooth=smooth)
+        assert b['frames'] == a['frames']
+        for k in ('mae360', 'front90', 'front20'):
+            assert b[k] == pytest.approx(a[k], abs=1e-3), (smooth, k)
+
+    # l2cs layout: 3 annotation rows per video, pitch<=20 extra bucket
+    annos3 = []
+    for a_ in annos:
+        annos3.extend([a_, {'gaze': [[1, 0, 0]] * 1},
+                       {'gaze': [[0, 1, 0]] * 1}])
+    va = mae.gaze_error(videos, {'annotations': annos3}, l2cs=True)
+    vb = gaze_error_device(videos, {'annotations': annos3}, l2cs=True)
+    for k in ('mae360', 'front90', 'front20'):
+        assert vb[k] == pytest.approx(va[k], abs=1e-3), k

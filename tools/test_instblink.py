@@ -97,17 +97,11 @@ def main():
         return 0
 
     import jax
-    import jax.numpy as jnp
 
     from mcgaze_tpu.data.instblink_dataset import InstBlinkClipDataset
     from mcgaze_tpu.evaluation.instblink_driver import (
         InstBlinkVideoEvaluator)
-    from functools import partial
-
-    from mcgaze_tpu.models.query_detector import (QueryDetector,
-                                                  init_query_model,
-                                                  topk_tracks,
-                                                  topk_tracks_batched)
+    from mcgaze_tpu.models.query_detector import init_query_model
     from mcgaze_tpu.utils.checkpoint import restore_checkpoint
     from mcgaze_tpu.utils.query_config import load_query_config
 
@@ -127,55 +121,32 @@ def main():
                                   target=dict(params=variables['params']))
         variables = dict(variables, params=ckpt['params'])
 
-    @jax.jit
-    def fwd(imgs, whwh):
-        out = model.apply(variables, imgs, whwh,
-                          clip_length=imgs.shape[0])
-        return topk_tracks(out['stages'][-1], imgs.shape[0],
-                           mc.max_per_img, mc.num_classes)
-
-    @partial(jax.jit, static_argnames='kq')
-    def fwd_batched(imgs, whwh, kq):
-        t = imgs.shape[0] // kq
-        out = model.apply(variables, imgs, whwh, clip_length=t)
-        return topk_tracks_batched(out['stages'][-1], kq, t,
-                                   mc.max_per_img, mc.num_classes)
-
-    def forward_np(imgs, whwh):
-        out = fwd(jnp.asarray(imgs), jnp.asarray(whwh))
-        return {k: np.asarray(v) for k, v in out.items()}
-
-    def batched_np(imgs, whwh, kq):
-        out = fwd_batched(jnp.asarray(imgs), jnp.asarray(whwh), kq)
-        return {k: np.asarray(v) for k, v in out.items()}
-
-    forward_np.batched = batched_np
+    from mcgaze_tpu.evaluation.forward import (bind_query_forward,
+                                               make_query_eval_forward)
+    fwd, fwd_batched = make_query_eval_forward(model, mc)
+    forward = bind_query_forward(fwd, fwd_batched, variables)
 
     ds = InstBlinkClipDataset(cfg.data_test)
-    evaluator = InstBlinkVideoEvaluator(forward_np, cfg.eval_cfg)
+    evaluator = InstBlinkVideoEvaluator(forward, cfg.eval_cfg,
+                                        data_cfg=cfg.data_test)
 
     results = []
     vids = ds.api.get_vid_ids()
     if args.max_videos:
         vids = vids[:args.max_videos]
-    for vid_id in vids:
-        paths = ds.video_paths(vid_id)
-        import cv2
-
-        from mcgaze_tpu.data import transforms as T
-        imgs, whwh, sfs = [], [], []
-        for p in paths:
-            img = cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB)
-            rimg, _b, sf = ds._resize(img, None)
-            h, w = rimg.shape[:2]
-            imgs.append(T.pad_to_canvas(T.normalize(rimg),
-                                        cfg.data_test.canvas))
-            whwh.append([w, h, w, h])
-            sfs.append(sf)
-        results.extend(evaluator.run_video(
-            np.stack(imgs), np.asarray(whwh, np.float32),
-            np.asarray(sfs, np.float32), vid_id))
-        print(f'video {vid_id}: {len(results)} tracks total')
+    # pipelined e2e: C++ pool decode + u8 ship + round-robin over local
+    # devices + one packed readback per video (the gaze driver's
+    # run_videos_from_paths discipline, evaluation/instblink_driver.py)
+    import time
+    t0 = time.time()
+    total_frames = 0
+    stream = evaluator.run_videos_from_paths(
+        (vid_id, ds.video_paths(vid_id)) for vid_id in vids)
+    for vid_id, tracks in zip(vids, stream):
+        results.extend(tracks)
+        total_frames += len(ds.video_paths(vid_id))
+        print(f'video {vid_id}: {len(results)} tracks total, '
+              f'{total_frames / (time.time() - t0):.1f} frames/s')
 
     out_path = args.out or 'results_instblink.json'
     with open(out_path, 'w') as f:
