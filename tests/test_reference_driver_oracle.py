@@ -163,3 +163,38 @@ def test_reference_eval_driver_matches_ours(workspace, monkeypatch,
     # same file, both scorers: byte-identical metric lines
     assert lines[('ref', 'ref')] == lines[('ref', 'ours')]
     assert lines[('ours', 'ref')] == lines[('ours', 'ours')]
+
+
+@pytest.mark.slow
+def test_reference_eval_driver_matches_ours_l2cs(workspace, monkeypatch,
+                                                 tmp_path):
+    """The l2cs setting's two-stack run: no CenterCrop (the pipeline is
+    fully deterministic — Resize 448 keep_ratio only), 448 px shapes,
+    and the 3-annotations-per-video scorer layout. Slow: the 448-canvas
+    CPU compile is ~4x the 224 one."""
+    ann, prefix, ckpt, root = workspace
+    l2cs_cfg = osp.join(REF,
+                        'configs/multiclue_gaze/multiclue_gaze_r50_l2cs.py')
+
+    from tests.reference_data_shim import load_reference_eval_driver
+    mod = load_reference_eval_driver()
+    monkeypatch.chdir(tmp_path)
+    args = types.SimpleNamespace(config=l2cs_cfg, checkpoint=ckpt,
+                                 json=ann, root=prefix, device='cpu',
+                                 cfg_options=None)
+    with torch.no_grad():
+        mod.main(args)
+    out = os.listdir(tmp_path / 'results')
+    assert len(out) == 1
+    ref_results = json.load(open(tmp_path / 'results' / out[0]))
+
+    out_dir = tmp_path / 'ours_l2cs'
+    # 48x64 frames -> resize fit (448,448) = 448x336 -> reference Pad/32
+    # = (352, 448); pin our canvas to it (the FrozenBN boundary contract)
+    run_cli([osp.join(REPO, 'tools/test_gaze360_gaze.py'), l2cs_cfg, ckpt,
+             '--json', ann, '--root', prefix, '--out-dir', str(out_dir),
+             '--cfg-options', 'eval_cfg.canvas=352,448'])
+    files = os.listdir(out_dir)
+    assert len(files) == 1
+    our_results = json.load(open(osp.join(str(out_dir), files[0])))
+    _assert_results_equal(ref_results, our_results)
