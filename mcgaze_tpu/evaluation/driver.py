@@ -330,7 +330,7 @@ class VideoGazeEvaluator:
         compute concurrently; readback forces only the oldest video's
         device. Results still yield in input order. With one device this
         reduces exactly to the round-3 submit-then-force path."""
-        from ..data.prefetch import BatchPrefetcher
+        from .pipeline import run_pipelined
 
         if device_put:
             import jax
@@ -352,28 +352,16 @@ class VideoGazeEvaluator:
                 self._phase('device_put', t0)
             return vid, (imgs, whwh, sfs, f)
 
-        decoded = BatchPrefetcher(
-            (produce(i, vid, paths)
-             for i, (vid, paths) in enumerate(videos)),
-            prefetch=max(prefetch, n_dev))
-        try:
-            if n_dev == 1:
-                for vid, (imgs, whwh, sfs, f) in decoded:
-                    yield self._run_preprocessed(imgs, whwh, sfs, f, vid)
-                return
-            from collections import deque
-            inflight = deque()
-            for vid, (imgs, whwh, sfs, f) in decoded:
-                inflight.append(
-                    (vid, sfs, f, self._submit_video(imgs, whwh, f)))
-                if len(inflight) >= n_dev:
-                    vid0, sfs0, f0, sub = inflight.popleft()
-                    yield self._finish_video(sub, sfs0, f0, vid0)
-            while inflight:
-                vid0, sfs0, f0, sub = inflight.popleft()
-                yield self._finish_video(sub, sfs0, f0, vid0)
-        finally:
-            decoded.close()
+        def submit(vid, payload):
+            imgs, whwh, sfs, f = payload
+            return sfs, f, self._submit_video(imgs, whwh, f)
+
+        def finish(vid, pending):
+            sfs, f, sub = pending
+            return self._finish_video(sub, sfs, f, vid)
+
+        yield from run_pipelined(videos, produce, submit, finish,
+                                 prefetch=prefetch, depth=n_dev)
 
     def run_video(self, frames: list, video_id: int) -> dict:
         cfg = self.cfg

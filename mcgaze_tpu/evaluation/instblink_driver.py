@@ -187,7 +187,7 @@ class InstBlinkVideoEvaluator:
         bind_query_forward); one packed readback per video. Yields
         lists of per-track result dicts in input order — the exact
         output of run_video on the same frames (equality-tested)."""
-        from ..data.prefetch import BatchPrefetcher
+        from .pipeline import run_pipelined
 
         if device_put:
             import jax
@@ -204,24 +204,16 @@ class InstBlinkVideoEvaluator:
                 whwh = jax.device_put(whwh, dev)
             return vid, (imgs, whwh, sfs)
 
-        decoded = BatchPrefetcher(
-            (produce(i, vid, paths)
-             for i, (vid, paths) in enumerate(videos)),
-            prefetch=max(prefetch, n_dev))
-        try:
-            from collections import deque
-            inflight = deque()
-            for vid, (imgs, whwh, sfs) in decoded:
-                inflight.append(
-                    (vid, sfs, self._submit_video(imgs, whwh)))
-                if len(inflight) >= max(n_dev, 1):
-                    vid0, sfs0, sub = inflight.popleft()
-                    yield self._finish_video(sub, sfs0, vid0)
-            while inflight:
-                vid0, sfs0, sub = inflight.popleft()
-                yield self._finish_video(sub, sfs0, vid0)
-        finally:
-            decoded.close()
+        def submit(vid, payload):
+            imgs, whwh, sfs = payload
+            return sfs, self._submit_video(imgs, whwh)
+
+        def finish(vid, pending):
+            sfs, sub = pending
+            return self._finish_video(sub, sfs, vid)
+
+        yield from run_pipelined(videos, produce, submit, finish,
+                                 prefetch=prefetch, depth=n_dev)
 
     def _submit_video(self, frames, whwh):
         """Dispatch every window of one video (async) and pack all
