@@ -43,8 +43,12 @@ RATIO_DRAW = 0.5          # crop ratio 0.68 + 0.5*0.32 = 0.84
 CANVAS = (192, 224)
 
 
+@pytest.mark.parametrize('idx,flip', [
+    (5, False),    # mid-video, 3-GT frames only in the window
+    (2, True),     # window crosses the head-only frame 3, flipped
+])
 def test_composed_train_two_stack(full_parity_fixture, tmp_path,  # noqa: F811
-                                  monkeypatch):
+                                  monkeypatch, idx, flip):
     # GazeTempLoss hard-codes .cuda() (gaze_temp_loss.py:59)
     monkeypatch.setattr(torch.Tensor, 'cuda',
                         lambda self, *a, **k: self, raising=True)
@@ -52,14 +56,14 @@ def test_composed_train_two_stack(full_parity_fixture, tmp_path,  # noqa: F811
     root = str(tmp_path)
     ann, prefix = make_dataset(root, num_videos=2, length=12,
                                head_only_frames=(3,))
-    idx = 5                       # mid-video: no end-window re-draw quirk
 
     # ---- reference stack: executed dataset + pipeline -> forward_train
     ref_ds = _build_reference_dataset(ann, prefix)
     rng = ScriptedRng([RATIO_DRAW])
     monkeypatch.setattr(np.random, 'rand', rng.rand)
-    monkeypatch.setattr(np.random, 'choice',
-                        lambda options, p=None: None)   # no flip
+    monkeypatch.setattr(
+        np.random, 'choice',
+        lambda options, p=None: 'horizontal' if flip else None)
     data = ref_ds.prepare_train_clip(idx)
     assert rng.calls == 1
 
@@ -89,7 +93,7 @@ def test_composed_train_two_stack(full_parity_fixture, tmp_path,  # noqa: F811
                       scale=(224, 224), canvas=CANVAS, crop_size=0.68,
                       flip_ratio=0.5, ship_uint8=False)
     ds = Gaze360ClipDataset(dcfg, use_native=None)
-    ds.rng = ScriptedRng([RATIO_DRAW, 0.9])         # ratio draw, no flip
+    ds.rng = ScriptedRng([RATIO_DRAW, 0.2 if flip else 0.9])
     clip = ds.get_clip(idx)
     assert clip is not None
 
