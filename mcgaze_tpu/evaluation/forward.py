@@ -100,7 +100,6 @@ def make_query_eval_forward(model, mc):
     fwd_batched(variables, imgs (Kq*T,...), whwh, kq) -> batched layout
     """
     import jax
-    import jax.numpy as jnp   # noqa: F401  (kept for parity with fwd)
 
     from ..models.query_detector import topk_tracks, topk_tracks_batched
 

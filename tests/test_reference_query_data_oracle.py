@@ -24,7 +24,7 @@ from tests.test_instblink_data import tiny_mpeblink  # noqa: F401
 
 def _ref_dataset(ann, prefix, clip_length=5):
     from tests.reference_data_shim import install_data
-    ns = install_data()
+    install_data()
     import importlib
     mpeblink = importlib.import_module('mmdet.datasets.mpeblink')
     # the blink-less pipeline (see module docstring for why the shipped
@@ -43,7 +43,6 @@ def _ref_dataset(ann, prefix, clip_length=5):
         dict(type='Collect',
              keys=['img', 'gt_bboxes', 'gt_labels', 'gt_ids']),
     ]
-    del ns
     return mpeblink.MPEblinkDataset(ann_file=ann, pipeline=pipeline,
                                     clip_length=clip_length,
                                     img_prefix=prefix)
