@@ -78,9 +78,13 @@ class InstBlinkClipDataset:
                       if any(a['bboxes'][f] is not None for a in anns)]
             self.video_frames[vid_id] = frames
             if cfg.blink_sampled and cfg.with_blinks:
+                # the reference counts a blink from ANY instance at the
+                # frame, even one whose bbox is None there — only the
+                # >=1-visible-instance filter ran first
+                # (blink_sampled.py:146-161 after :120-145; pinned by
+                # test_reference_query_data_oracle.py)
                 frames = [f for f in frames
-                          if any(a['bboxes'][f] is not None
-                                 and a['blinks_binary'][f] == 1
+                          if any(a['blinks_binary'][f] == 1
                                  for a in anns)]
             self.index.extend((vid_id, f) for f in frames)
 

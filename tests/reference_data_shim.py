@@ -484,6 +484,15 @@ def install_data():
     ds_utils = _imp('mmdet.datasets.utils')
     datasets.replace_ImageToTensor = ds_utils.replace_ImageToTensor
 
+    # blink_sampled.py imports the external youtubevos cocoapi
+    # (pycocotools.ytvos.YTVOS); the reference VENDORS the same API as
+    # mpeblink_api.MPEblink, so that is the faithful stand-in
+    ytvos_mod = _pkg('pycocotools.ytvos')
+    ytvos_mod.YTVOS = mpeblink_api.MPEblink
+    blink_sampled = _imp('mmdet.datasets.blink_sampled')
+    datasets.YoutubeVISDataset_Sampled = \
+        blink_sampled.YoutubeVISDataset_Sampled
+
     # --- mmdet.apis.init_detector (real file) ---
     _pkg('mmdet.apis', REF + '/mmdet/apis')
     inference = _imp('mmdet.apis.inference')
@@ -494,6 +503,7 @@ def install_data():
         Gaze360Dataset=gaze360.Gaze360Dataset,
         CustomDataset=custom.CustomDataset,
         MPEblink=mpeblink_api.MPEblink,
+        YoutubeVISDataset_Sampled=blink_sampled.YoutubeVISDataset_Sampled,
         Compose=pipelines.Compose,
         PIPELINES=builder.PIPELINES,
         DATASETS=builder.DATASETS,

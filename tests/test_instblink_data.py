@@ -43,7 +43,10 @@ def tiny_mpeblink(tmp_path_factory):
             for fi in range(f):
                 if inst == 1 and fi in (0, 5):
                     bboxes.append(None)       # occluded frames
-                    blinks_binary.append(0)
+                    # frame 5: mid-blink WHILE occluded — the
+                    # blink_sampled corner where the reference counts
+                    # the blink from an instance whose bbox is None
+                    blinks_binary.append(1 if fi == 5 else 0)
                 else:
                     bboxes.append([5 + inst * 20, 5, 15, 20])
                     blinks_binary.append(1 if 3 <= fi <= 4 else 0)
@@ -116,7 +119,12 @@ def test_blink_sampled_restricts_index(tiny_mpeblink):
     sampled = InstBlinkClipDataset(_cfg(ann, prefix, blink_sampled=True))
     assert len(sampled) < len(full)
     for vid, fr in sampled.index:
-        assert fr in (3, 4)            # the only blinking frames
+        # frames 3-4: both instances blink; frame 5: instance 1 blinks
+        # WHILE occluded (bbox None) — the reference counts it
+        # (blink_sampled.py:146-161; instance visibility only gated the
+        # earlier _filter_imgs pass)
+        assert fr in (3, 4, 5)
+    assert any(fr == 5 for _vid, fr in sampled.index)
 
 
 def test_batches_shapes(tiny_mpeblink):

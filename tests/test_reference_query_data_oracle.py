@@ -144,3 +144,38 @@ def test_blink_labels_match_parse_ann_info(tiny_mpeblink):  # noqa: F811
             blinks[pres, fi].astype(np.int64), parsed['blinks'])
         np.testing.assert_allclose(boxes[pres, fi], parsed['bboxes'],
                                    atol=1e-5)
+
+
+def test_blink_sampled_index_matches_reference(tiny_mpeblink):  # noqa: F811
+    """blink_sampled oversampling (blink_sampled.py:146-161, indexed via
+    :273): the executed YoutubeVISDataset_Sampled restricts the training
+    index to frames where some instance is mid-blink; our
+    InstBlinkDataConfig.blink_sampled must select the same (video,
+    frame) set."""
+    from tests.reference_data_shim import install_data
+    ns = install_data()
+    ann, prefix = tiny_mpeblink
+    pipeline = [
+        dict(type='LoadImageFromFile'),
+        dict(type='LoadAnnotations', with_bbox=True, with_gaze=False,
+             with_id=True),
+        dict(type='Resize', img_scale=[(48, 36)], keep_ratio=True),
+        dict(type='RandomFlip', flip_ratio=0.5),
+        dict(type='Normalize', mean=[123.675, 116.28, 103.53],
+             std=[58.395, 57.12, 57.375], to_rgb=True),
+        dict(type='Pad', size_divisor=32),
+        dict(type='DefaultFormatBundle'),
+        dict(type='Collect',
+             keys=['img', 'gt_bboxes', 'gt_labels', 'gt_ids']),
+    ]
+    ref = ns.YoutubeVISDataset_Sampled(ann_file=ann, pipeline=pipeline,
+                                       clip_length=5, img_prefix=prefix)
+    ref_pairs = [(ref.vid_infos[v]['id'], f)
+                 for (v, f) in (ref.data_infos[i]
+                                for i in ref.sampled_data_infos)]
+
+    ours = InstBlinkClipDataset(InstBlinkDataConfig(
+        ann_file=ann, img_prefix=prefix, clip_length=5, scale=(48, 36),
+        canvas=(64, 64), batch_size=2, max_instances=3,
+        blink_sampled=True))
+    assert ours.index == ref_pairs
