@@ -157,3 +157,26 @@ def test_query_train_u8_batches_match_f32(tiny_mpeblink):  # noqa: F811
         _state, logs = step(state, batch)
         losses.append(float(logs['loss']))
     assert losses[0] == pytest.approx(losses[1], rel=1e-4)
+
+
+def test_python_fallback_decode_matches_native(tiny_mpeblink,  # noqa: F811
+                                               monkeypatch):
+    """_decode_video's cv2/python fallback (no .so) must produce the
+    native C++ pool's exact arrays, for both resize modes."""
+    ann, prefix = tiny_mpeblink
+    for keep_ratio in (True, False):
+        dc = _data_cfg(ann, prefix, keep_ratio)
+        ds = InstBlinkClipDataset(dc)
+        paths = ds.video_paths(1)
+        ev = InstBlinkVideoEvaluator(lambda i, w: None,
+                                     InstBlinkEvalConfig(ship_uint8=False),
+                                     data_cfg=dc)
+        native = ev._decode_video(paths)
+        ev_py = InstBlinkVideoEvaluator(lambda i, w: None,
+                                        InstBlinkEvalConfig(
+                                            ship_uint8=False),
+                                        data_cfg=dc)
+        ev_py._native = False            # force the python path
+        py = ev_py._decode_video(paths)
+        for a, b in zip(native, py):
+            np.testing.assert_allclose(a, b, atol=1e-5)
