@@ -25,6 +25,16 @@ AX_r (7, W) on the VPU with the level-routing mask folded into AY (a RoI
 contributes from exactly one level, so levels accumulate); then
 t = AY @ F (one MXU dot against (H, W*C)) and per (r, i) row
 out[r, i] = AX_r @ t[r*7+i].reshape(W, C).
+
+Round 5: each level's whole block is PREDICATED (`pl.when` over 'some
+RoI of this chunk routes here', from the SMEM box scalars) and the
+wrapper stable-sorts chunked RoI loads by level per frame so chunks are
+level-pure — mmcv's own per-level gather
+(single_level_roi_extractor.py:57-75) done inside one kernel. Non-routed
+levels only ever contributed exact zeros, so the output is bit-identical
+(d=0 verified on chip); measured at the InstBlink shape (4,400 RoIs,
+384x640 bf16): 10.4 -> 6.6 ms (all-L0 boxes) / 6.4 (mixed) / 4.6
+(image-scale), lifting the family's bench metric 34.3 -> 50.2 clips/s.
 """
 from __future__ import annotations
 
