@@ -122,15 +122,12 @@ def make_query_eval_forward(model, mc):
     return fwd, fwd_batched
 
 
-def bind_query_forward(fwd, fwd_batched, variables):
-    """bind_forward for the query family: forward(imgs, whwh) -> device
-    track dict, with `.batched(imgs, whwh, kq)` attached and per-device
-    resident params (the same vars_for caching as bind_forward, so the
-    InstBlink driver can round-robin videos over jax.local_devices()).
-    Outputs stay DEVICE arrays — the driver packs one readback per
-    video (instblink_driver._submit_video)."""
+def _device_resident(variables):
+    """vars_for(x): the variables pytree replicated once per device a
+    device-committed input lives on, cached — each local device
+    evaluates with its own resident copy instead of re-shipping params
+    per call (shared by bind_forward and bind_query_forward)."""
     import jax
-    import jax.numpy as jnp
 
     dev_variables = {}
 
@@ -145,6 +142,20 @@ def bind_query_forward(fwd, fwd_batched, variables):
         if dev not in dev_variables:
             dev_variables[dev] = jax.device_put(variables, dev)
         return dev_variables[dev]
+
+    return vars_for
+
+
+def bind_query_forward(fwd, fwd_batched, variables):
+    """bind_forward for the query family: forward(imgs, whwh) -> device
+    track dict, with `.batched(imgs, whwh, kq)` attached and per-device
+    resident params (the same vars_for caching as bind_forward, so the
+    InstBlink driver can round-robin videos over jax.local_devices()).
+    Outputs stay DEVICE arrays — the driver packs one readback per
+    video (instblink_driver._submit_video)."""
+    import jax.numpy as jnp
+
+    vars_for = _device_resident(variables)
 
     def forward(imgs, whwh):
         return fwd(vars_for(imgs), jnp.asarray(imgs), jnp.asarray(whwh))
@@ -177,22 +188,9 @@ def bind_forward(fwd, variables, fwd_dedup=None):
     dispatch is async, so the driver can submit every chunk of a video
     and pay one device->host sync when it np.asarray's the results
     (driver._submit_clips/_collect_clips)."""
-    import jax
     import jax.numpy as jnp
 
-    dev_variables = {}
-
-    def vars_for(x):
-        devs = getattr(x, 'devices', None)
-        if devs is None:
-            return variables
-        try:
-            (dev,) = devs()
-        except (TypeError, ValueError):
-            return variables
-        if dev not in dev_variables:
-            dev_variables[dev] = jax.device_put(variables, dev)
-        return dev_variables[dev]
+    vars_for = _device_resident(variables)
 
     def forward(imgs, whwh, t):
         return fwd(vars_for(imgs), jnp.asarray(imgs), jnp.asarray(whwh), t)
