@@ -620,13 +620,274 @@ def roi_align_fpn_pallas(feats: tuple,
     return out
 
 
+def _axis_weights_grid_t(lo_c: jnp.ndarray, hi_c: jnp.ndarray, size: int,
+                         out_size: int, sampling_ratio: int):
+    """Transposed bilinear one-hot rows for one RoI on one axis:
+    (size, out_size). Same math as _axis_weights_grid with the two iota
+    roles swapped, so the backward kernel's contractions are plain
+    row-major matmuls (no in-kernel transposes)."""
+    bin_sz = (hi_c - lo_c) / out_size
+    iota = jax.lax.broadcasted_iota(
+        jnp.int32, (size, out_size), 0).astype(jnp.float32)
+    ii = jax.lax.broadcasted_iota(
+        jnp.int32, (size, out_size), 1).astype(jnp.float32)
+    w = jnp.zeros((size, out_size), jnp.float32)
+    for k in range(sampling_ratio):
+        coord = lo_c + (ii + (k + 0.5) / sampling_ratio) * bin_sz
+        valid = (coord >= -1.0) & (coord <= float(size))
+        vc = jnp.maximum(coord, 0.0)
+        lo = jnp.floor(vc)
+        degenerate = lo >= float(size - 1)
+        lo = jnp.minimum(lo, float(size - 1))
+        hi = jnp.minimum(lo + 1.0, float(size - 1))
+        frac = jnp.where(degenerate, 0.0, vc - lo)
+        wk = ((iota == lo) * (1.0 - frac) + (iota == hi) * frac)
+        w = w + wk * valid
+    return w / sampling_ratio
+
+
+def _make_bwd_kernel(num_rois: int, out_size: int, sampling_ratio: int,
+                     strides: tuple, sizes: tuple, channels: int,
+                     finest_scale: float,
+                     merged: bool, chunked_grid: bool):
+    """Backward kernel body: cotangent (1, R, out, out, CC) -> per-level
+    pyramid gradient blocks, accumulated across the RoI chunks of a
+    frame (the out blocks revisit — same frame index for cpf consecutive
+    grid steps — so Mosaic keeps them in VMEM and writes back once).
+
+    RoIAlign is linear: out_{r} = AY_r @ F_l @ AX_r^T at the routed
+    level, so dF_l = sum_r AY_r^T @ G_r @ AX_r. Both transposed weight
+    matrices are built directly in transposed layout
+    (_axis_weights_grid_t) so every contraction is a plain matmul:
+      per (r, i): m = AX_r^T (W, out) @ G[r, i] (out, CC)   [VPU-cheap]
+      per level : dF += AYT (H, R*out) @ M (R*out, W*CC)    [the MXU dot]
+    Level routing masks fold into AYT exactly as the forward folds them
+    into AY; level blocks run under the same 'some RoI routes here'
+    predicate, and the wrapper level-sorts chunks, so the zero-only
+    levels are skipped (identical structure to the forward kernel)."""
+    num_levels = len(strides)
+
+    def kernel(rois_ref, g_ref, *out_refs):
+        # chunk index is the INNERMOST grid dim; the out blocks' index
+        # maps ignore it (static revisit — the canonical pallas reduction
+        # pattern), so the gradient blocks persist in VMEM across the
+        # frame's chunks and write back once. A dynamic (scalar-prefetch)
+        # out map was measured WRONG on chip here: the revisit is not
+        # detected, each step gets a fresh buffer, and not-first chunks
+        # accumulate uninitialised VMEM (maxdiff ~60 vs ref ~4 at the
+        # InstBlink shape; the interpret simulator's single-buffer
+        # semantics hid it).
+        first = pl.program_id(2 if chunked_grid else 1) == 0
+
+        @pl.when(first)
+        def _zero():
+            for o in out_refs:
+                o[...] = jnp.zeros(o.shape, o.dtype)
+
+        boxes = [[rois_ref[0, r, i] for i in range(4)]
+                 for r in range(num_rois)]
+        areas = [jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0)
+                 for (x1, y1, x2, y2) in boxes]
+
+        def routed_bool(r, level):
+            v = jnp.sqrt(areas[r]) / finest_scale + 1e-6
+            lo = 2.0 ** level
+            hi = 2.0 ** (level + 1)
+            m = (v >= lo) & (v < hi)
+            if level == 0:
+                m = v < hi
+            if level == num_levels - 1:
+                m = v >= lo
+            return m
+
+        def level_block(li):
+            h_l, w_l = sizes[li]
+            stride = float(strides[li])
+            ayts = []
+            rows = []
+            for r in range(num_rois):
+                x1, y1, x2, y2 = boxes[r]
+                mask = routed_bool(r, li).astype(jnp.float32)
+                ayt = _axis_weights_grid_t(y1 / stride - 0.5,
+                                           y2 / stride - 0.5,
+                                           h_l, out_size, sampling_ratio)
+                axt = _axis_weights_grid_t(x1 / stride - 0.5,
+                                           x2 / stride - 0.5,
+                                           w_l, out_size, sampling_ratio)
+                ayts.append(ayt * mask)   # routing mask folded into AYT
+                axt = axt.astype(g_ref.dtype)
+                for i in range(out_size):
+                    gi = g_ref[0, r, i, :, :]          # (out, CC)
+                    rows.append(jnp.dot(axt, gi,
+                                        preferred_element_type=jnp.float32
+                                        ).astype(g_ref.dtype))  # (W, CC)
+            ayt_all = jnp.concatenate(ayts, axis=1)    # (H, R*out)
+            m_all = jnp.concatenate(rows, axis=0).reshape(
+                num_rois * out_size, w_l * channels)   # (R*out, W*CC)
+            df = jnp.dot(ayt_all.astype(m_all.dtype), m_all,
+                         preferred_element_type=jnp.float32)  # (H, W*CC)
+            o = out_refs[li]
+            if merged:
+                o[0] += df.astype(o.dtype)
+            else:
+                o[0] += df.reshape(h_l, w_l, channels).astype(o.dtype)
+
+        for li in range(num_levels):
+            used = routed_bool(0, li)
+            for r in range(1, num_rois):
+                used = used | routed_bool(r, li)
+            pl.when(used)(partial(level_block, li))
+
+    return kernel
+
+
+def _bwd_step_vmem_bytes(sizes, cc, k, out_size, itemsize):
+    """Scoped-VMEM estimate for one backward grid step: the resident
+    per-level gradient blocks (+ double-buffered write-back), the
+    double-buffered cotangent block, and the kernel temporaries (the
+    (R*out, W*CC) m rows in f32 + their cast copy, the f32 df, the AYT
+    builds). Same 2x calibration treatment as _step_vmem_bytes."""
+    cells = sum(h * w for (h, w) in sizes)
+    out_blocks = cells * cc * itemsize * 2
+    g_block = k * out_size * out_size * cc * itemsize * 2
+    max_w = max(w for (_, w) in sizes)
+    max_h = max(h for (_, h) in sizes)
+    temps = (k * out_size * max_w * cc * (4 + 2 * itemsize)
+             + max_h * max_w * cc * 4
+             + k * out_size * max_h * 4)
+    return out_blocks + g_block + temps
+
+
+@partial(jax.jit, static_argnames=('out_size', 'sampling_ratio', 'strides',
+                                   'finest_scale', 'interpret',
+                                   'channel_chunk', 'chunk_cap'))
+def roi_align_fpn_pallas_bwd(feats, rois, g,
+                             out_size: int = 7,
+                             sampling_ratio: int = 2,
+                             strides: tuple = (4, 8, 16, 32),
+                             finest_scale: float = 56.0,
+                             interpret: bool = False,
+                             channel_chunk: int | None = None,
+                             chunk_cap: int | None = None) -> tuple:
+    """Pallas feature-gradient for roi_align_fpn_pallas (identity
+    frame_idx — the training path; the dedup eval path never
+    differentiates). feats are used for shapes/dtypes only (RoIAlign is
+    linear in feats). Returns the per-level gradient tuple.
+
+    Mirrors the forward wrapper: RoI chunking with per-frame level
+    sorting (the chunk permutation is applied to g instead of inverted
+    on the output) and the same VMEM-estimate-driven limit lift. The
+    grid is (n, chunks) — RoI chunks INNERMOST with the out maps
+    ignoring them (static accumulator revisit; channel chunking adds an
+    outer dim). Matches the XLA mm-formulation vjp to float tolerance
+    (tests/test_roi_align.py) and was verified bit-consistent on chip
+    against the mm transpose at f32 (d=1.9e-6 rel)."""
+    n, r = rois.shape[:2]
+    c = feats[0].shape[-1]
+    sizes = tuple((f.shape[1], f.shape[2]) for f in feats)
+    dtype = feats[0].dtype
+
+    if c % 128 != 0 and not interpret:
+        # same Mosaic lane constraint as the forward: fall back to the
+        # XLA formulation's transpose
+        from .roi_align import roi_align_fpn_mm
+        _, vjp = jax.vjp(
+            lambda f: roi_align_fpn_mm(f, rois, out_size=out_size,
+                                       sampling_ratio=sampling_ratio,
+                                       strides=strides,
+                                       finest_scale=finest_scale), feats)
+        return vjp(g.astype(dtype))[0]
+
+    cap = chunk_cap or _MAX_ROIS_PER_STEP
+    k = max(d for d in range(1, min(cap, r) + 1) if r % d == 0)
+    cpf = r // k
+    if cpf > 1:
+        # level-pure chunks: sort each frame's RoIs by FPN level and
+        # carry g along (pure reordering — sum over RoIs is permutation
+        # invariant, so no inverse is needed on the output)
+        from .roi_align import roi_levels
+        lv = roi_levels(rois, num_levels=len(strides),
+                        finest_scale=finest_scale)
+        order = jnp.argsort(lv, axis=1, stable=True)
+        rois = jnp.take_along_axis(rois, order[..., None], axis=1)
+        g = jnp.take_along_axis(g, order[..., None, None, None], axis=1)
+    nc = n * cpf
+    rois_c = rois.reshape(nc, k, 4)
+    g_c = g.reshape(nc, k, out_size, out_size, c)
+
+    cc = channel_chunk or _channel_chunk(sizes, c, dtype.itemsize)
+    assert c % cc == 0, (c, cc)
+    merged = cc == c
+
+    kernel = _make_bwd_kernel(k, out_size, sampling_ratio, strides, sizes,
+                              cc, finest_scale, merged=merged,
+                              chunked_grid=not merged)
+
+    # STATIC grids only (identity frame mapping): the out blocks' index
+    # maps must ignore the innermost chunk dim so Mosaic keeps one
+    # accumulator buffer per frame sweep — see _make_bwd_kernel.
+    if merged:
+        grid = (n, cpf)
+        in_specs = [
+            pl.BlockSpec((1, k, 4), lambda i, j2: (i * cpf + j2, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, k, out_size, out_size, c),
+                         lambda i, j2: (i * cpf + j2, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_specs = [
+            pl.BlockSpec((1, h, w * c), lambda i, j2: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for (h, w) in sizes
+        ]
+        out_shape = [jax.ShapeDtypeStruct((n, h, w * c), dtype)
+                     for (h, w) in sizes]
+    else:
+        grid = (c // cc, n, cpf)
+        in_specs = [
+            pl.BlockSpec((1, k, 4), lambda j, i, j2: (i * cpf + j2, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, k, out_size, out_size, cc),
+                         lambda j, i, j2: (i * cpf + j2, 0, 0, 0, j),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_specs = [
+            pl.BlockSpec((1, h, w, cc),
+                         lambda j, i, j2: (i, 0, 0, j),
+                         memory_space=pltpu.VMEM)
+            for (h, w) in sizes
+        ]
+        out_shape = [jax.ShapeDtypeStruct((n, h, w, c), dtype)
+                     for (h, w) in sizes]
+
+    step_bytes = _bwd_step_vmem_bytes(sizes, cc, k, out_size,
+                                      dtype.itemsize)
+    params = None
+    if step_bytes > _VMEM_BLOCK_BUDGET and not interpret:
+        params = pltpu.CompilerParams(
+            vmem_limit_bytes=min(step_bytes * 2 + 16 * 1024 * 1024,
+                                 120 * 1024 * 1024))
+    grads = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+        **({'compiler_params': params} if params is not None else {}),
+    )(rois_c.astype(jnp.float32), g_c.astype(dtype))
+    return tuple(df.reshape(n, h, w, c)
+                 for df, (h, w) in zip(grads, sizes))
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def roi_align_fpn_pallas_diff(feats, rois, out_size=7, sampling_ratio=2,
                               strides=(4, 8, 16, 32), finest_scale=56.0):
-    """Differentiable wrapper: pallas forward, mm-formulation transpose
-    backward (RoIAlign is linear in feats, so the mm vjp is exact; rois
-    get zero gradient, matching the reference's detached proposals —
-    multiclue_gaze_roi_head.py:134)."""
+    """Differentiable wrapper: pallas forward, pallas transpose backward
+    on TPU (roi_align_fpn_pallas_bwd — the mm-formulation vjp elsewhere;
+    RoIAlign is linear in feats so both transposes are exact). rois get
+    zero gradient, matching the reference's detached proposals
+    (multiclue_gaze_roi_head.py:134)."""
     return roi_align_fpn_pallas(feats, rois, out_size=out_size,
                                 sampling_ratio=sampling_ratio,
                                 strides=strides, finest_scale=finest_scale)
@@ -640,8 +901,16 @@ def _diff_fwd(feats, rois, out_size, sampling_ratio, strides, finest_scale):
 
 
 def _diff_bwd(out_size, sampling_ratio, strides, finest_scale, res, g):
-    from .roi_align import roi_align_fpn_mm
     feats, rois = res
+    if jax.default_backend() == 'tpu':
+        # roi_align_fpn_pallas_bwd falls back to the mm transpose itself
+        # when C violates the Mosaic lane constraint
+        grads = roi_align_fpn_pallas_bwd(
+            feats, rois, g.astype(feats[0].dtype), out_size=out_size,
+            sampling_ratio=sampling_ratio, strides=strides,
+            finest_scale=finest_scale)
+        return grads, jnp.zeros_like(rois)
+    from .roi_align import roi_align_fpn_mm
     _, vjp = jax.vjp(
         lambda f: roi_align_fpn_mm(f, rois, out_size=out_size,
                                    sampling_ratio=sampling_ratio,
