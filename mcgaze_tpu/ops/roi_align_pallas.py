@@ -495,6 +495,14 @@ def roi_align_fpn_pallas(feats: tuple,
                                 strides=strides,
                                 finest_scale=finest_scale)
 
+    # Constant-input guard — same on-chip finding as the backward
+    # wrapper (see roi_align_fpn_pallas_bwd): a compile-time-constant
+    # rois folds the level-sort/un-permute index chain into literals,
+    # which miscompiles at the pallas custom-call boundary. Pin rois as
+    # a runtime value; free (the barrier is erased from optimized HLO).
+    if not interpret:
+        (rois,) = jax.lax.optimization_barrier((rois,))
+
     cap = chunk_cap or (_MAX_ROIS_PER_STEP_VEC if vectorized
                         else _MAX_ROIS_PER_STEP)
     if r > cap:
@@ -797,6 +805,22 @@ def roi_align_fpn_pallas_bwd(feats, rois, g,
                                        strides=strides,
                                        finest_scale=finest_scale), feats)
         return vjp(g.astype(dtype))[0]
+
+    # Constant-input guard (found on chip, round 5, jax 0.9.0): when
+    # `rois` is a compile-time CONSTANT of the surrounding jit (e.g. a
+    # grad taken with closed-over boxes), XLA folds the level-sort
+    # indices below into literals and lowers the g permutation through a
+    # bitpacked-index gather whose output, fed to the pallas custom
+    # call, is read WRONG on chip (maxdiff ~60-69 vs ref scale ~6 at the
+    # InstBlink shape; deterministic). The identical program with traced
+    # rois — and the bitpacked gather in isolation — are both exact, so
+    # this is a const-chain x custom-call boundary miscompile, not a
+    # kernel bug. Pinning the inputs as runtime values at wrapper entry
+    # routes the whole chain through the verified lowering; ~free (the
+    # barrier disappears from the optimized HLO).
+    # Verified on chip by tools/analysis_tools/roi_kernel_check.py.
+    if not interpret:
+        rois, g = jax.lax.optimization_barrier((rois, g))
 
     cap = chunk_cap or _MAX_ROIS_PER_STEP
     k = max(d for d in range(1, min(cap, r) + 1) if r % d == 0)
